@@ -1,0 +1,118 @@
+"""Host-side batch loader: threaded decode + prefetch feeding the device.
+
+Replaces torch ``DataLoader`` workers: a thread pool decodes PNG/JPG frames
+into pinned uint8 batches (decode releases the GIL in cv2/PIL), a small
+prefetch queue overlaps IO with TPU compute, and the jitted augmentation
+(``augment.py``) runs on device. An optional native C++ framestore
+(``native/framestore``) packs datasets into a memory-mapped uint8 cache to
+skip per-epoch decoding entirely (see ``data/framestore.py``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    try:
+        import cv2
+
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+class Loader:
+    """Iterate dicts: {'seq_raw': uint8 (B,T,H,W,3), 'cond': float32 (B,3)?}.
+
+    ``seed`` drives both shuffling and window sampling so epochs are
+    reproducible; pass ``epoch`` to ``__iter__`` to reshuffle per epoch.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        workers: int = 8,
+        seed: int = 0,
+        prefetch: int = 4,
+        framestore=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.workers = max(1, workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.framestore = framestore
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_item(self, idx: int, rng: np.random.Generator):
+        item = self.dataset.sample(idx, rng)
+        if self.framestore is not None:
+            frames = self.framestore.read_window(item)
+        else:
+            frames = np.stack([_imread_rgb(p) for p in item["paths"]], axis=0)
+        return frames, item.get("cond")
+
+    def __iter__(self):
+        return self.epoch_iter(0)
+
+    def epoch_iter(self, epoch: int):
+        rng = np.random.default_rng((self.seed, epoch))
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+
+        n_batches = len(self)
+        batches_idx = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.workers) as pool:
+                for bi, idxs in enumerate(batches_idx):
+                    if stop.is_set():
+                        return
+                    item_rngs = [
+                        np.random.default_rng((self.seed, epoch, int(i))) for i in idxs
+                    ]
+                    results = list(pool.map(self._load_item, idxs, item_rngs))
+                    seq = np.stack([r[0] for r in results], axis=0)
+                    batch = {"seq_raw": seq}
+                    if results[0][1] is not None:
+                        batch["cond"] = np.stack([r[1] for r in results], axis=0)
+                    q.put(batch)
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

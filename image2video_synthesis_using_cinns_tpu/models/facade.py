@@ -1,0 +1,244 @@
+"""User-facing ``Model`` facade: checkpoint-dir in, videos out.
+
+Parity with reference ``get_model.py``:
+  * configs are discovered by chaining: ``model_path/config_stage2.yaml`` →
+    ``First_stage_model`` → ``config_stage1.yaml`` (decoder/encoder) and
+    ``Conditioning_Model`` → ``config_stage2_AE.yaml`` (frozen embedder)
+    (reference lines 14-45);
+  * ``forward(x0, cond)``: draw ν ~ N(0,I), flow⁻¹ → z, decode, and extend
+    autoregressively from the last frame until ``vid_length`` (lines 51-75);
+  * ``transfer(seq_query, x0)``: encode query motion → flow → ν, flow⁻¹ under
+    the new start frame, decode (lines 77-103).
+
+Array API stays in the torch layout the reference CLIs use — x0 (B,C,H,W),
+videos (B,T,C,H,W), all in [-1,1] — while everything inside runs channels-last
+under one jitted function per (batch, length) signature.
+
+Note: reference line 75 returns ``seq[:self.vid_length]`` which slices the
+*batch* axis (a latent bug, harmless at the default 16-frame setting); we
+implement the documented intent — time-axis truncation.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..utils import checkpoint as ckpt_io
+from .stage1.decoder import Generator
+from .stage1.resnet3d import Encoder
+from .stage2.inn import SupervisedTransformer
+
+
+def _join(*parts: str) -> str:
+    return os.path.join(*[p for p in parts if p])
+
+
+class Model:
+    def __init__(
+        self,
+        model_path: str,
+        vid_length: int,
+        transfer: bool = False,
+        seed: int = 0,
+        use_pallas: bool = True,
+        allow_random_init: bool = False,
+    ):
+        self.config = cfg.load(_join(model_path, "config_stage2.yaml"))
+        opt = self.config
+        path_stage1 = _join(
+            opt.First_stage_model["model_path"], opt.First_stage_model["model_name"]
+        )
+        self.config_stage1 = cfg.load(_join(path_stage1, "config_stage1.yaml"))
+
+        self.z_dim = self.config_stage1.Decoder["z_dim"]
+        self.vid_length = vid_length
+        self._rng = jax.random.PRNGKey(seed)
+
+        img_size = 64
+        if "Data" in self.config_stage1:
+            img_size = self.config_stage1.Data.get("img_size", 64)
+
+        # ---- decoder ------------------------------------------------------
+        self.decoder = Generator.from_config(self.config_stage1.Decoder)
+        dec_ckpt = ckpt_io.find(
+            _join(path_stage1, opt.First_stage_model["checkpoint_decoder"])
+        )
+        self.decoder_vars = self._load_or_init(
+            self.decoder,
+            dec_ckpt,
+            allow_random_init,
+            init_args=lambda m: (
+                jnp.zeros((1, img_size, img_size, 3)),
+                jnp.zeros((1, self.z_dim)),
+            ),
+        )
+
+        # ---- stage1 encoder (transfer only) -------------------------------
+        self.encoder = None
+        if transfer:
+            self.encoder = Encoder.from_config(self.config_stage1.Encoder)
+            enc_ckpt = ckpt_io.find(
+                _join(path_stage1, opt.First_stage_model["checkpoint_encoder"])
+            )
+            self.encoder_vars = self._load_or_init(
+                self.encoder,
+                enc_ckpt,
+                allow_random_init,
+                init_args=lambda m: (jnp.zeros((1, 16, img_size, img_size, 3)),),
+                init_rngs={"sample": jax.random.PRNGKey(0)},
+            )
+
+        # ---- cINN + frozen embedder ---------------------------------------
+        cond_dic = opt.Conditioning_Model
+        ae_dir = _join(cond_dic["model_path"], cond_dic["model_name"])
+        ae_cfg_path = _join(ae_dir, "config_stage2_AE.yaml")
+        ae_cfg = cfg.load(ae_cfg_path).AE if os.path.exists(ae_cfg_path) else None
+        self.flow = SupervisedTransformer.from_configs(
+            opt, self.config_stage1.Decoder, ae_cfg, use_pallas=use_pallas
+        )
+
+        flow_init_args = lambda m: (  # noqa: E731
+            jnp.zeros((1, self.z_dim)),
+            [jnp.zeros((1, img_size, img_size, 3))]
+            + ([jnp.zeros((1, 3))] if m.control else []),
+        )
+        flow_ckpt = ckpt_io.find(_join(model_path, "cINN"))
+        self.flow_vars = self._load_or_init(
+            self.flow, flow_ckpt, allow_random_init, init_args=flow_init_args
+        )
+        # the frozen embedder ships separately (AE checkpoint); splice it in
+        emb_ckpt = ckpt_io.find(_join(ae_dir, cond_dic.get("checkpoint_name", "")))
+        if emb_ckpt is not None:
+            emb_payload = ckpt_io.load(emb_ckpt)
+            emb_vars = emb_payload.get("state_dict", emb_payload)
+            self.flow_vars = _splice(self.flow_vars, "embedder", emb_vars)
+
+        self._fn_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _load_or_init(self, module, ckpt_path, allow_random_init, init_args, init_rngs=None):
+        if ckpt_path is not None:
+            payload = ckpt_io.load(ckpt_path)
+            return payload.get("state_dict", payload)
+        if not allow_random_init:
+            raise FileNotFoundError(
+                f"no checkpoint found for {type(module).__name__}; pass "
+                "allow_random_init=True to run with random weights (benchmarks)"
+            )
+        rngs = {"params": jax.random.PRNGKey(0)}
+        if init_rngs:
+            rngs.update(init_rngs)
+        # jit the init: XLA dead-code-eliminates the forward compute, so this
+        # compiles in seconds where eager init would compile each conv op.
+        return jax.jit(module.init)(rngs, *init_args(module))
+
+    def _next_key(self):
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    # ------------------------------------------------------------------
+    # compiled kernels (cached per input signature)
+    # ------------------------------------------------------------------
+    def _sample_fn(self):
+        if "sample" not in self._fn_cache:
+
+            @jax.jit
+            def sample(flow_vars, dec_vars, x0_cl, cond_extra, residual):
+                cond = [x0_cl] if cond_extra is None else [x0_cl, cond_extra]
+                z = self.flow.apply(flow_vars, residual, cond, reverse=True)
+                z = z.reshape(x0_cl.shape[0], -1)
+                seq = self.decoder.apply(dec_vars, x0_cl, z)
+                return seq, z
+
+            self._fn_cache["sample"] = sample
+        return self._fn_cache["sample"]
+
+    def _decode_fn(self):
+        if "decode" not in self._fn_cache:
+            self._fn_cache["decode"] = jax.jit(
+                lambda dec_vars, img, z: self.decoder.apply(dec_vars, img, z)
+            )
+        return self._fn_cache["decode"]
+
+    # ------------------------------------------------------------------
+    def __call__(self, x_0, cond=None):
+        return self.forward(x_0, cond)
+
+    def forward(self, x_0, cond=None, residual=None):
+        """x_0: (B,C,H,W) in [-1,1] → video (B,T,C,H,W).
+
+        ``residual`` lets callers inject a recorded ν for fixed-seed parity
+        tests; by default ν ~ N(0, I) from the facade's key stream.
+        """
+        x_0 = jnp.asarray(x_0)
+        b = x_0.shape[0]
+        x0_cl = jnp.transpose(x_0, (0, 2, 3, 1))
+        if residual is None:
+            residual = jax.random.normal(self._next_key(), (b, self.z_dim))
+        cond_extra = None if cond is None else jnp.asarray(cond)
+
+        seq, z = self._sample_fn()(self.flow_vars, self.decoder_vars, x0_cl, cond_extra, residual)
+        seq = self._extend(seq, z)
+        return jnp.transpose(seq, (0, 1, 4, 2, 3))  # (B,T,C,H,W)
+
+    def _extend(self, seq, z):
+        decode = self._decode_fn()
+        while seq.shape[1] < self.vid_length:
+            seq1 = decode(self.decoder_vars, seq[:, -1], z)
+            seq = jnp.concatenate((seq, seq1), axis=1)
+        return seq[:, : self.vid_length] if seq.shape[1] > self.vid_length else seq
+
+    def transfer(self, seq_query, x_0):
+        """seq_query: (B,T,C,H,W); x_0: (N,C,H,W) → (N,T',C,H,W)."""
+        assert self.encoder is not None, "construct Model(..., transfer=True)"
+        seq_query = jnp.asarray(seq_query)
+        x_0 = jnp.asarray(x_0)
+        q_cl = jnp.transpose(seq_query, (0, 1, 3, 4, 2))  # (B,T,H,W,C)
+        x0_cl = jnp.transpose(x_0, (0, 2, 3, 1))
+
+        if "transfer" not in self._fn_cache:
+
+            @jax.jit
+            def run(enc_vars, flow_vars, dec_vars, q_cl, x0_cl, key):
+                # dynamics of the query video (frames after the first)
+                _, z, _ = self.encoder.apply(
+                    enc_vars, q_cl[:, 1:], rngs={"sample": key}
+                )
+                res, _ = self.flow.apply(flow_vars, z, [q_cl[:, 0]])
+                res = jnp.tile(res.reshape(z.shape[0], -1), (x0_cl.shape[0], 1))
+                z_ref = self.flow.apply(flow_vars, res, [x0_cl], reverse=True)
+                z_ref = z_ref.reshape(x0_cl.shape[0], -1)
+                return self.decoder.apply(dec_vars, x0_cl, z_ref), z_ref
+
+            self._fn_cache["transfer"] = run
+
+        seq_gen, z_ref = self._fn_cache["transfer"](
+            self.encoder_vars, self.flow_vars, self.decoder_vars, q_cl, x0_cl,
+            self._next_key(),
+        )
+        seq_gen = self._extend(seq_gen, z_ref)
+        return jnp.transpose(seq_gen, (0, 1, 4, 2, 3))
+
+
+def _splice(variables, key: str, sub_vars) -> dict:
+    """Replace ``variables[col][key]`` sub-trees with those from ``sub_vars``.
+
+    ``sub_vars`` is a variables dict of the standalone embedder (collections →
+    trees); each collection's tree is grafted under ``key`` in the composite
+    model's matching collection.
+    """
+    out = {c: dict(v) for c, v in variables.items()}
+    for col, tree in (sub_vars or {}).items():
+        if not isinstance(tree, dict):
+            continue
+        sub = tree.get(key, tree)  # accept both wrapped and bare sub-trees
+        out.setdefault(col, {})
+        out[col] = dict(out[col])
+        out[col][key] = sub
+    return out

@@ -1,0 +1,381 @@
+"""Shared linen layers: spectral-norm convolutions/dense, ActNorm, pooling.
+
+Channels-last everywhere (NHWC / NDHWC) so convolutions map directly onto the
+TPU MXU without layout transposes. Spectral norm keeps its power-iteration
+vector in the ``"spectral"`` variable collection (see ``ops/spectral.py``);
+ActNorm keeps its data-dependent-init flag in ``"actnorm_stats"``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.spectral import kernel_to_matrix, spectral_normalize
+
+Dtype = Any
+
+# --------------------------------------------------------------------------
+# weight initialisers matching the reference's torch init choices
+# --------------------------------------------------------------------------
+
+def torch_conv_default_init(fan_in_scale: float = 1.0):
+    """torch Conv default: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = 1
+        for d in shape[:-1]:
+            fan_in *= d
+        bound = 1.0 / jnp.sqrt(fan_in * fan_in_scale)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def normal_init(std: float = 0.02):
+    return nn.initializers.normal(stddev=std)
+
+
+def xavier_uniform_gain(gain: float):
+    return nn.initializers.variance_scaling(gain * gain, "fan_avg", "uniform")
+
+
+kaiming_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def kaiming_normal_fan_out_exact(key, shape, dtype=jnp.float32):
+    """Untruncated kaiming normal (torch ``kaiming_normal_`` has no truncation)."""
+    fan_out = shape[-1]
+    for d in shape[:-2]:
+        fan_out *= d
+    std = jnp.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def orthogonal_conv_init(key, shape, dtype=jnp.float32):
+    """torch ``orthogonal_`` on a conv weight: orthogonalise the (out, -1) matrix."""
+    out = shape[-1]
+    flat = 1
+    for d in shape[:-1]:
+        flat *= d
+    q = jax.nn.initializers.orthogonal()(key, (out, flat), dtype)
+    return jnp.moveaxis(q.reshape((out,) + shape[:-1]), 0, -1)
+
+
+def uniform_bias_for_fan_in(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# --------------------------------------------------------------------------
+# spectral norm mixin
+# --------------------------------------------------------------------------
+
+class _SpectralMixin:
+    """Provides kernel spectral-normalisation backed by the 'spectral' collection."""
+
+    def _maybe_spectral(self, kernel: jax.Array) -> jax.Array:
+        if not self.use_spectral:  # type: ignore[attr-defined]
+            return kernel
+        out_features = kernel.shape[-1]
+        u_var = self.variable(  # type: ignore[attr-defined]
+            "spectral",
+            "u",
+            lambda: _init_u(self.make_rng("params"), out_features),  # type: ignore[attr-defined]
+        )
+        matrix = kernel_to_matrix(kernel)
+        update = (
+            not self.is_initializing()  # type: ignore[attr-defined]
+            and self.is_mutable_collection("spectral")  # type: ignore[attr-defined]
+        )
+        sigma, new_u = spectral_normalize(matrix, u_var.value, update=update)
+        if update:
+            u_var.value = new_u
+        return kernel / sigma
+
+
+def _init_u(key, n):
+    u = jax.random.normal(key, (n,))
+    return u / (jnp.linalg.norm(u) + 1e-12)
+
+
+# --------------------------------------------------------------------------
+# convolution / dense layers
+# --------------------------------------------------------------------------
+
+class SNConv(nn.Module, _SpectralMixin):
+    """N-D channels-last convolution with optional spectral norm.
+
+    ``kernel_size``/``strides``/``padding`` are per spatial axis (2 entries for
+    images, 3 for videos). Padding entries are symmetric torch-style ints.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    padding: Sequence[int] | None = None
+    use_bias: bool = True
+    use_spectral: bool = False
+    kernel_init: Callable = None  # type: ignore[assignment]
+    bias_init: Callable = None  # type: ignore[assignment]
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ndim_sp = len(self.kernel_size)
+        in_features = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (in_features, self.features)
+
+        fan_in = in_features
+        for k in self.kernel_size:
+            fan_in *= k
+        kernel_init = self.kernel_init or torch_conv_default_init()
+        bias_init = self.bias_init or uniform_bias_for_fan_in(fan_in)
+
+        kernel = self.param("kernel", kernel_init, kshape)
+        kernel = self._maybe_spectral(kernel)
+
+        strides = tuple(self.strides or (1,) * ndim_sp)
+        padding = self.padding
+        if padding is None:
+            padding = (0,) * ndim_sp
+        pad = [(p, p) for p in padding]
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kshape, _dim_numbers(ndim_sp)
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=strides,
+            padding=pad,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", bias_init, (self.features,))
+            y = y + bias
+        return y.astype(dtype)
+
+
+def _dim_numbers(ndim_sp: int):
+    if ndim_sp == 1:
+        return ("NWC", "WIO", "NWC")
+    if ndim_sp == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if ndim_sp == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(f"unsupported conv rank {ndim_sp}")
+
+
+class SNDense(nn.Module, _SpectralMixin):
+    features: int
+    use_bias: bool = True
+    use_spectral: bool = False
+    kernel_init: Callable = None  # type: ignore[assignment]
+    bias_init: Callable = None  # type: ignore[assignment]
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel_init = self.kernel_init or torch_conv_default_init()
+        bias_init = self.bias_init or uniform_bias_for_fan_in(in_features)
+        # stored as (in, out); spectral norm needs torch's (out, in) view
+        kernel = self.param("kernel", kernel_init, (in_features, self.features))
+        kernel = self._maybe_spectral(kernel)
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", bias_init, (self.features,))
+        return y.astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# norms
+# --------------------------------------------------------------------------
+
+class GroupNorm(nn.Module):
+    """GroupNorm with torch eps (1e-5), channels-last, any spatial rank."""
+
+    num_groups: int = 16
+    use_affine: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        orig_shape = x.shape
+        x32 = x.astype(jnp.float32)
+        xg = x32.reshape(x.shape[0], -1, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        y = xg.reshape(orig_shape)
+        if self.use_affine:
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch semantics: running stats in 'batch_stats'.
+
+    ``use_running_average=True`` == torch eval mode.
+    """
+
+    use_affine: bool = True
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch momentum convention: new = (1-m)*old + m*batch
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool = True) -> jax.Array:
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.var(x32, axis=axes)
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                n = 1
+                for ax in axes:
+                    n *= x.shape[ax]
+                unbiased = var * n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_affine:
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class ActNormImage(nn.Module):
+    """Per-channel affine with data-dependent init (image variant).
+
+    Mirrors the patch-disc / AE ActNorm (reference
+    ``stage1_VAE/modules/patch_disc.py:16-98``): initialisation from the first
+    *training* batch (gated on train mode), parameters ``loc``/``scale`` with
+    ``h = scale * (x + loc)``.
+
+    JAX has no in-forward parameter mutation, so data-dependent init is an
+    *explicit pass*: apply the model once with the ``"actnorm_stats"``
+    collection mutable — each ActNorm then computes batch stats, uses them
+    immediately for this forward (so downstream ActNorms see correctly
+    normalised activations, exactly like torch's sequential in-place init) and
+    records them in the collection. ``merge_actnorm_init`` (below) then folds
+    the recorded values into the params pytree. During ordinary train/eval
+    steps the collection is not mutable and the stored params are used as-is.
+    """
+
+    logdet: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        c = x.shape[-1]
+        loc = self.param("loc", nn.initializers.zeros, (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        initialized = self.variable(
+            "actnorm_stats", "initialized", lambda: jnp.zeros((), jnp.uint8)
+        )
+        loc_init = self.variable("actnorm_stats", "loc_init", lambda: jnp.zeros((c,)))
+        scale_init = self.variable("actnorm_stats", "scale_init", lambda: jnp.ones((c,)))
+
+        do_init = (
+            train
+            and not self.is_initializing()
+            and self.is_mutable_collection("actnorm_stats")
+        )
+        if do_init:
+            axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes)
+            std = jnp.std(x32, axis=axes, ddof=1)
+            first = (initialized.value == 0).astype(jnp.float32)
+            loc = first * (-mean) + (1 - first) * loc
+            scale = first * (1.0 / (std + 1e-6)) + (1 - first) * scale
+            loc_init.value = loc
+            scale_init.value = scale
+            initialized.value = jnp.ones((), jnp.uint8)
+
+        h = scale * (x + loc)
+        if self.logdet:
+            hw = 1
+            for ax in range(1, x.ndim - 1):
+                hw *= x.shape[ax]
+            ld = hw * jnp.sum(jnp.log(jnp.abs(scale)))
+            return h, jnp.broadcast_to(ld, (x.shape[0],))
+        return h
+
+    @staticmethod
+    def reverse(params, x):
+        return x / params["scale"] - params["loc"]
+
+
+def merge_actnorm_init(params, actnorm_stats):
+    """Fold recorded data-dependent ActNorm stats into the params pytree.
+
+    ``actnorm_stats`` is the (updated) collection returned by an apply call
+    with ``mutable=['actnorm_stats']``; wherever it contains ``loc_init`` /
+    ``scale_init`` alongside ``loc``/``scale`` params at the same module path,
+    the params are replaced.
+    """
+    import flax
+
+    flat_params = flax.traverse_util.flatten_dict(params)
+    flat_stats = flax.traverse_util.flatten_dict(actnorm_stats)
+    for path, value in flat_stats.items():
+        if path[-1] == "loc_init":
+            target = path[:-1] + ("loc",)
+            if target in flat_params:
+                flat_params[target] = value
+        elif path[-1] == "scale_init":
+            target = path[:-1] + ("scale",)
+            if target in flat_params:
+                flat_params[target] = value
+    return flax.traverse_util.unflatten_dict(flat_params)
+
+
+# --------------------------------------------------------------------------
+# pooling
+# --------------------------------------------------------------------------
+
+def max_pool(x: jax.Array, window: Sequence[int], strides: Sequence[int], padding: Sequence[int]) -> jax.Array:
+    """Channels-last max pool over the spatial axes with symmetric padding."""
+    ones = (1,)
+    win = ones + tuple(window) + ones
+    strd = ones + tuple(strides) + ones
+    pad = [(0, 0)] + [(p, p) for p in padding] + [(0, 0)]
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, win, strd, pad)
+
+
+def avg_pool(x: jax.Array, window: Sequence[int], strides: Sequence[int], padding: Sequence[int] | None = None) -> jax.Array:
+    ones = (1,)
+    win = ones + tuple(window) + ones
+    strd = ones + tuple(strides) + ones
+    pad = [(0, 0)] + [(p, p) for p in (padding or (0,) * len(window))] + [(0, 0)]
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, win, strd, pad)
+    count = 1
+    for w in window:
+        count *= w
+    return summed / count
+
+
+def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, slope * x)

@@ -1,0 +1,72 @@
+"""Device mesh + sharding policy for data-parallel training.
+
+The reference is strictly single-GPU (SURVEY §2.8); parallel training is a
+new first-class capability of this framework. Design:
+
+  * one mesh axis ``"data"`` over all local (or distributed) devices — the
+    models here (video VAE, cINN) are far below single-chip HBM, so DP over
+    ICI is the right first axis; batch leaves are sharded on axis 0, params
+    and optimiser state are fully replicated;
+  * train steps are ordinary ``jax.jit`` functions with ``in_shardings`` /
+    ``out_shardings``; gradient reduction is the ``jnp.mean`` over the batch
+    inside the loss — XLA inserts the cross-replica ``psum`` automatically
+    from the shardings (no hand-written collectives needed at DP);
+  * per-step RNG: the root key is folded with the step index; inside the
+    jitted step, per-sample noise is generated from batch-sharded keys so each
+    replica draws independent noise.
+
+Multi-host: ``jax.distributed.initialize()`` + per-host data loading slot in
+transparently (``make_mesh`` uses ``jax.devices()`` which is global after
+initialisation).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_parallel_sharding(mesh: Mesh, axis_name: str = "data"):
+    """Returns (batch_sharding, replicated_sharding)."""
+    return NamedSharding(mesh, P(axis_name)), NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
+    """Pad the leading axis of every leaf so it divides the mesh size.
+
+    Returns (padded_batch, original_batch_size); losses mask the padding via
+    the returned true size when it matters.
+    """
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(batch)
+    if not leaves:
+        return batch, 0
+    b = leaves[0].shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        return batch, b
+    padded = jax.tree.map(
+        lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], rem, axis=0)], axis=0), batch
+    )
+    return padded, b

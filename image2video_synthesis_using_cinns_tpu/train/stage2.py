@@ -1,0 +1,293 @@
+"""Stage-2 cINN training: exact-NLL flow optimisation over the TPU mesh.
+
+Capability parity with reference ``stage2_cINN/main.py``:
+  * loads + freezes the stage-1 Generator/Encoder from the chained
+    ``config_stage1.yaml`` (lines 77-88) and the AE embedder checkpoint,
+  * per batch: frozen 3D-ResNet posterior ``post`` of frames 1:, flow forward
+    under the start-frame embedding, FlowLoss, Adam(beta1, beta2, amsgrad) +
+    StepLR (lines 20-45, 105-110),
+  * per-epoch validation + prior-FVD evaluation with best-checkpoint saving
+    (fixing the reference's undefined ``save_dict`` at line 183 — it crashes
+    on first improvement; we save the documented payload),
+  * CSV + optional wandb logging with the same key schema (line 150).
+
+TPU-native design: the *whole* step — frozen encoder forward, embedding,
+flow, loss, grads, Adam update — is one jitted function, data-parallel over
+the mesh ('data' axis): batch sharded on axis 0, params/opt-state replicated;
+XLA inserts the gradient all-reduce from the shardings. The frozen nets are
+closed-over constants (SURVEY §3.3). The flow's ActNorm data-dependent init
+runs once on the first batch (the reference initialises lazily inside the
+first forward; here it is an explicit pass, then params are fixed).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..data import get_loader
+from ..data.augment import build_augment
+from ..data.loader import Loader
+from ..data.registry import augment_params
+from ..losses.flow_loss import flow_loss
+from ..models.facade import _splice
+from ..models.stage1.decoder import Generator
+from ..models.stage1.resnet3d import Encoder
+from ..models.stage2.inn import SupervisedTransformer
+from ..parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from ..utils import checkpoint as ckpt_io
+from ..utils.logging import CSVlogger, Logging, WandbSink
+from ..utils.seed import set_seed
+from .optim import LRController, adam_torch, get_lr, set_lr
+
+
+def build_models(opt):
+    """Load frozen stage-1 models + the cINN with its frozen embedder."""
+    model_path = os.path.join(
+        opt.First_stage_model["model_path"], opt.First_stage_model["model_name"]
+    )
+    config1 = cfg.load(os.path.join(model_path, "config_stage1.yaml"))
+
+    generator = Generator.from_config(config1.Decoder)
+    gen_vars = ckpt_io.load(
+        ckpt_io.find(os.path.join(model_path, opt.First_stage_model["checkpoint_decoder"]))
+    )["state_dict"]
+
+    encoder = Encoder.from_config(config1.Encoder)
+    enc_vars = ckpt_io.load(
+        ckpt_io.find(os.path.join(model_path, opt.First_stage_model["checkpoint_encoder"]))
+    )["state_dict"]
+
+    cond_dic = opt.Conditioning_Model
+    ae_dir = os.path.join(cond_dic["model_path"], cond_dic["model_name"])
+    ae_cfg = cfg.load(os.path.join(ae_dir, "config_stage2_AE.yaml")).AE
+    network = SupervisedTransformer.from_configs(opt, config1.Decoder, ae_cfg)
+
+    img = config1.Data["img_size"]
+    control = bool(opt.Training.get("control", False))
+    cond = [jnp.zeros((1, img, img, 3))] + ([jnp.zeros((1, 3))] if control else [])
+    net_vars = jax.jit(network.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, config1.Decoder["z_dim"])), cond
+    )
+    emb_ckpt = ckpt_io.find(os.path.join(ae_dir, cond_dic["checkpoint_name"]))
+    if emb_ckpt:
+        payload = ckpt_io.load(emb_ckpt)
+        net_vars = _splice(net_vars, "embedder", payload.get("state_dict", payload))
+
+    return config1, generator, gen_vars, encoder, enc_vars, network, net_vars
+
+
+def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, optimizer, control: bool):
+    """One jitted DP step. ``trainable`` = flow params; embedder frozen."""
+
+    def loss_fn(flow_params, frozen, buffers, seq, cond_pos, rng):
+        # frozen dynamics posterior of frames 1:
+        k_enc, k_ref = jax.random.split(rng)
+        post, _, _ = encoder.apply(enc_vars, seq[:, 1:], rngs={"sample": k_enc})
+        post = jax.lax.stop_gradient(post.reshape(post.shape[0], -1))
+        cond = [seq[:, 0]] if not control else [seq[:, 0], cond_pos]
+        variables = {
+            "params": {"flow": flow_params, "embedder": frozen},
+            "buffers": buffers,
+        }
+        gauss, logdet = network.apply(variables, post, cond)
+        loss, aux = flow_loss(gauss, logdet, rng=k_ref)
+        return loss, aux
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(flow_params, opt_state, frozen, buffers, seq, cond_pos, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            flow_params, frozen, buffers, seq, cond_pos, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, flow_params)
+        flow_params = jax.tree.map(lambda p, u: p + u, flow_params, updates)
+        return flow_params, opt_state, aux
+
+    @jax.jit
+    def eval_step(flow_params, frozen, buffers, seq, cond_pos, rng):
+        _, aux = loss_fn(flow_params, frozen, buffers, seq, cond_pos, rng)
+        return aux
+
+    return step, eval_step
+
+
+def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
+    root_key = set_seed(42)
+    (config1, generator, gen_vars, encoder, enc_vars, network, net_vars) = build_models(opt)
+    control = bool(opt.Training.get("control", False))
+
+    optimizer = adam_torch(
+        opt.Training["lr"],
+        betas=(opt.Training["beta1"], opt.Training["beta2"]),
+        weight_decay=opt.Training["weight_decay"],
+        amsgrad=bool(opt.Training["amsgrad"]),
+    )
+
+    # ---- data ---------------------------------------------------------
+    DatasetCls = get_loader(opt.Data["dataset"], control=control)
+    train_ds = DatasetCls(opt, mode="train")
+    eval_ds = DatasetCls(opt, mode="eval")
+    train_loader = Loader(train_ds, opt.Training["bs"], workers=opt.Training["workers"], drop_last=False, seed=42)
+    eval_loader = Loader(eval_ds, opt.Training["bs_eval"], workers=opt.Training["workers"], drop_last=False, seed=43)
+    params_aug, random_crop, _ = augment_params(opt, "train")
+    aug_train = build_augment(opt.Data["img_size"], params_aug, random_crop, True)
+    aug_eval = build_augment(opt.Data["img_size"], params_aug, random_crop, False)
+
+    # ---- logging ------------------------------------------------------
+    dt = datetime.now()
+    run_name = "Stage2_{}_Date-{}-{}-{}-{}-{}-{}_{}".format(
+        opt.Data["dataset"], dt.year, dt.month, dt.day, dt.hour, dt.minute,
+        dt.second, opt.Training["savename"],
+    )
+    save_path = os.path.join(opt.Training["save_path"] or ".", run_name)
+    os.makedirs(os.path.join(save_path, "videos"), exist_ok=True)
+    opt.Training["save_path"] = save_path
+    cfg.save(opt, os.path.join(save_path, "config_stage2.yaml"))
+
+    wandb_sink = WandbSink()
+    wandb_sink.init(opt.get("Logging"), opt, save_path, opt.Training["savename"])
+
+    logging_keys = ["Loss", "reference_nll_loss", "nlogdet_loss", "nll_loss", "PFVD"]
+    loss_track_train = Logging(logging_keys[:-1])
+    loss_track_test = Logging(logging_keys[:-1])
+    full_log_train = CSVlogger(
+        os.path.join(save_path, "log_per_epoch_train.csv"), ["Epoch", "Time", "LR"] + logging_keys
+    )
+    full_log_eval = CSVlogger(
+        os.path.join(save_path, "log_per_epoch_eval.csv"), ["Epoch", "Time", "LR"] + logging_keys
+    )
+
+    # ---- mesh + step ---------------------------------------------------
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    flow_params = net_vars["params"]["flow"]
+    frozen = net_vars["params"]["embedder"]
+    buffers = net_vars["buffers"]
+    opt_state = optimizer.init(flow_params)
+    flow_params, frozen, buffers, opt_state, enc_vars_r = (
+        replicate(mesh, x) for x in (flow_params, frozen, buffers, opt_state, enc_vars)
+    )
+
+    step_fn, eval_fn = make_train_step(network, encoder, enc_vars_r, optimizer, control)
+
+    lr_ctrl = LRController(
+        opt.Training["lr"], "step",
+        gamma=opt.Training["gamma"], step_size=opt.Training["step_size"],
+    )
+
+    actnorm_done = False
+    best_PFVD = 999.0
+    global_step = 0
+
+    def prep_batch(batch, train: bool, key):
+        seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
+        cond_pos = jnp.asarray(batch.get("cond")) if control else jnp.zeros((seq.shape[0], 3))
+        b = {"seq": seq, "cond": cond_pos}
+        b, true_b = pad_to_multiple(b, n_dev)
+        return shard_batch(mesh, b), true_b
+
+    for epoch in range(opt.Training["n_epochs"]):
+        epoch_time = time.time()
+        lr = get_lr(opt_state) if hasattr(opt_state, "hyperparams") else lr_ctrl.lr
+
+        # ---------------- train ----------------
+        loss_track_train.reset()
+        for i, batch in enumerate(train_loader.epoch_iter(epoch)):
+            key = jax.random.fold_in(root_key, global_step)
+            sharded, _ = prep_batch(batch, True, key)
+
+            if not actnorm_done:
+                # explicit data-dependent ActNorm init on the first batch
+                seq0 = sharded["seq"]
+                k_enc = jax.random.fold_in(key, 1)
+                post, _, _ = jax.jit(
+                    lambda v, s, k: encoder.apply(v, s, rngs={"sample": k})
+                )(enc_vars_r, seq0[:, 1:], k_enc)
+                cond0 = [seq0[:, 0]] + ([sharded["cond"]] if control else [])
+                new_blocks = jax.jit(
+                    lambda fp, fr, bu, p, c: network.apply(
+                        {"params": {"flow": fp, "embedder": fr}, "buffers": bu},
+                        p.reshape(p.shape[0], -1), c, method="init_actnorm",
+                    )
+                )(flow_params, frozen, buffers, post, cond0)
+                flow_params = dict(flow_params)
+                flow_params["blocks"] = new_blocks
+                opt_state = optimizer.init(flow_params)
+                opt_state = replicate(mesh, opt_state)
+                set_lr(opt_state, lr_ctrl.lr)
+                actnorm_done = True
+
+            flow_params, opt_state, aux = step_fn(
+                flow_params, opt_state, frozen, buffers,
+                sharded["seq"], sharded["cond"], jax.random.fold_in(key, 2),
+            )
+            aux = {k: float(v) for k, v in aux.items()}
+            loss_track_train.append(aux)
+            wandb_sink.log({f"train_{k}": v for k, v in aux.items()})
+            global_step += 1
+            if max_steps and global_step >= max_steps:
+                break
+
+        # ---------------- eval ----------------
+        loss_track_test.reset()
+        for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
+            key = jax.random.fold_in(root_key, 10_000_000 + epoch * 10_000 + i)
+            sharded, _ = prep_batch(batch, False, key)
+            aux = eval_fn(flow_params, frozen, buffers, sharded["seq"], sharded["cond"], key)
+            aux = {k: float(v) for k, v in aux.items()}
+            loss_track_test.append(aux)
+            wandb_sink.log({f"eval_{k}": v for k, v in aux.items()})
+            if max_steps and i >= 2:
+                break
+
+        # ---------------- FVD(prior) + checkpoints ----------------
+        PFVD = float("nan")
+        if eval_fvd:
+            try:
+                from .fvd_eval import evaluate_FVD_prior
+
+                PFVD = evaluate_FVD_prior(
+                    eval_loader, aug_eval, network,
+                    {"params": {"flow": flow_params, "embedder": frozen}, "buffers": buffers},
+                    generator, gen_vars, config1.Decoder["z_dim"], opt, epoch,
+                    config1.Training.get("FVD", "FVD"), control,
+                )
+                wandb_sink.log({"FVD": PFVD})
+            except FileNotFoundError:
+                eval_fvd = False  # I3D weights not available; skip silently
+
+        metric = PFVD if PFVD == PFVD else loss_track_test.log()[0]
+        if metric < best_PFVD:
+            net_vars_out = {
+                "params": {"flow": jax.device_get(flow_params), "embedder": jax.device_get(frozen)},
+                "buffers": jax.device_get(buffers),
+            }
+            ckpt_io.save(
+                os.path.join(save_path, "cINN.msgpack"),
+                ckpt_io.get_save_dict(net_vars_out, jax.device_get(opt_state), epoch),
+            )
+            best_PFVD = metric
+
+        epoch_dt = time.time() - epoch_time
+        full_log_train.write([epoch, epoch_dt, lr, *loss_track_train.log(), PFVD])
+        full_log_eval.write([epoch, epoch_dt, lr, *loss_track_test.log(), PFVD])
+
+        new_lr = lr_ctrl.step()
+        set_lr(opt_state, new_lr)
+
+        if max_steps and global_step >= max_steps:
+            break
+
+    return {
+        "save_path": save_path,
+        "best_metric": best_PFVD,
+        "train_loss": loss_track_train.log(),
+        "eval_loss": loss_track_test.log(),
+    }

@@ -1,0 +1,67 @@
+"""Checkpoint I/O.
+
+Same checkpoint *contract* as the reference (``utils/auxiliaries.py:8-12``):
+per-model dicts ``{'epoch', 'state_dict', 'optim_state_dict',
+'scheduler_state_dict'}`` written next to a re-serialised config — downstream
+stages discover architecture from the saved config and weights from these
+files. Storage is flax msgpack (``.msgpack``); ``load`` transparently falls
+back to converting a torch ``.pth`` with the same stem via
+``utils/convert.py`` so reference checkpoints remain usable.
+
+Writes are atomic (tmp + rename) so a preempted TPU job never leaves a torn
+checkpoint — the preemption-safe half of crash-resume (reference keeps only
+"latest" files for this purpose, ``stage1_VAE/main.py:224-228``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _to_numpy(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+
+
+def save(path: str, payload: dict) -> None:
+    payload = dict(payload)
+    data = flax.serialization.msgpack_serialize(_to_numpy(payload))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load(path: str) -> dict:
+    if not os.path.exists(path) and path.endswith(".msgpack"):
+        torch_path = path[: -len(".msgpack")] + ".pth"
+        if os.path.exists(torch_path):
+            from .convert import load_torch_checkpoint
+
+            return load_torch_checkpoint(torch_path)
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+def get_save_dict(variables: Any, opt_state: Any, epoch: int, extra: dict | None = None) -> dict:
+    dic = {
+        "epoch": epoch + 1,
+        "state_dict": _to_numpy(variables),
+        "optim_state_dict": _to_numpy(opt_state),
+    }
+    if extra:
+        dic.update(_to_numpy(extra))
+    return dic
+
+
+def find(path_no_ext: str) -> str | None:
+    """Return the existing checkpoint path for a stem, trying native then torch."""
+    for suffix in (".msgpack", ".pth", ".pth.tar"):
+        p = path_no_ext + suffix
+        if os.path.exists(p):
+            return p
+    return None

@@ -1,0 +1,40 @@
+"""Test configuration.
+
+Tests must run hermetically on CPU: the environment pre-imports jax with the
+single-chip 'axon' TPU platform (PYTHONPATH sitecustomize + JAX_PLATFORMS=axon),
+so setting env vars here is too late — concurrent test processes would contend
+for the one TPU tunnel and deadlock. ``jax.config.update`` works after import
+and is the reliable switch.
+
+Mesh/pjit tests additionally need ``--xla_force_host_platform_device_count=8``
+which must be present in XLA_FLAGS before the first CPU backend creation; we
+set it here (the CPU client is created lazily at first use, after conftest).
+Note that flag pins each virtual device to a single thread — heavy compute
+tests should stick to shapes that stay cheap.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: first run compiles (~minutes of XLA:CPU work
+# across the suite), subsequent runs replay from cache in seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,117 @@
+"""Resampling / norm ops parity against torch oracles (torch-CPU available)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from image2video_synthesis_using_cinns_tpu.ops.resize import (
+    resize_bilinear_align_corners,
+    upsample_nearest,
+)
+from image2video_synthesis_using_cinns_tpu.ops.norms import instance_norm
+from image2video_synthesis_using_cinns_tpu.models.layers import (
+    GroupNorm,
+    avg_pool,
+    leaky_relu,
+    max_pool,
+)
+
+
+def test_align_corners_bilinear_matches_torch(rng):
+    x = rng.standard_normal((2, 7, 9, 3)).astype(np.float32)
+    for size in [(13, 17), (3, 4), (7, 9), (64, 64), (1, 5)]:
+        ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), size))
+        theirs = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                size=size, mode="bilinear", align_corners=True,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_upsample_matches_torch(rng):
+    x = rng.standard_normal((2, 3, 4, 5, 6)).astype(np.float32)  # (B,T,H,W,C)
+    ours = np.asarray(upsample_nearest(jnp.asarray(x), (2, 2, 2), (1, 2, 3)))
+    theirs = (
+        F.interpolate(torch.from_numpy(x).permute(0, 4, 1, 2, 3), scale_factor=2)
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs)
+
+    ours2 = np.asarray(upsample_nearest(jnp.asarray(x), (2, 1, 1), (1, 2, 3)))
+    theirs2 = (
+        F.interpolate(torch.from_numpy(x).permute(0, 4, 1, 2, 3), scale_factor=(2, 1, 1))
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours2, theirs2)
+
+
+def test_instance_norm3d_matches_torch(rng):
+    x = rng.standard_normal((2, 4, 5, 6, 8)).astype(np.float32)
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    theirs = (
+        F.instance_norm(torch.from_numpy(x).permute(0, 4, 1, 2, 3))
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 6, 32)).astype(np.float32)
+    gn = GroupNorm(num_groups=16)
+    variables = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(gn.apply(variables, jnp.asarray(x)))
+    theirs = (
+        F.group_norm(torch.from_numpy(x).permute(0, 3, 1, 2), 16)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    # 5D (video) input
+    xv = rng.standard_normal((2, 3, 4, 5, 32)).astype(np.float32)
+    variables = gn.init(jax.random.PRNGKey(0), jnp.asarray(xv))
+    ours = np.asarray(gn.apply(variables, jnp.asarray(xv)))
+    theirs = (
+        F.group_norm(torch.from_numpy(xv).permute(0, 4, 1, 2, 3), 16)
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_pools_match_torch(rng):
+    x = rng.standard_normal((2, 5, 10, 12, 7)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    ours = np.asarray(max_pool(jnp.asarray(x), (3, 3, 3), (1, 2, 2), (1, 1, 1)))
+    theirs = (
+        F.max_pool3d(xt, kernel_size=3, stride=(1, 2, 2), padding=1)
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs)
+
+    x2 = rng.standard_normal((2, 3, 4, 4, 7)).astype(np.float32)
+    ours2 = np.asarray(avg_pool(jnp.asarray(x2), (1, 4, 4), (1, 1, 1)))
+    theirs2 = (
+        F.avg_pool3d(torch.from_numpy(x2).permute(0, 4, 1, 2, 3), (1, 4, 4), stride=1)
+        .permute(0, 2, 3, 4, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours2, theirs2, rtol=1e-5, atol=1e-6)
+
+
+def test_leaky_relu_matches_torch(rng):
+    x = rng.standard_normal((17,)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(leaky_relu(jnp.asarray(x), 0.2)),
+        F.leaky_relu(torch.from_numpy(x), 0.2).numpy(),
+    )
