@@ -1,0 +1,75 @@
+"""Diversity evaluation CLI.
+
+Flag/protocol parity with reference ``eval_diversity.py``: fixed seed 249,
+``-n_realiz`` (default 5) realisations per test item, diversity via VGG /
+kinetics-I3D / DT-I3D backbones (``-VGG -I3D -DTI3D``).
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-gpu", type=str, required=False, help="ignored (JAX/TPU)")
+    parser.add_argument("-dataset", type=str, required=True)
+    parser.add_argument("-texture", type=str)
+    parser.add_argument("-ckpt_path", type=str, required=False)
+    parser.add_argument("-data_path", type=str, required=True)
+    parser.add_argument("-seq_length", type=int, default=16)
+    parser.add_argument("-n_realiz", type=int, default=5)
+    parser.add_argument("-bs", type=int, default=6)
+    parser.add_argument("-I3D", type=bool)
+    parser.add_argument("-VGG", type=bool)
+    parser.add_argument("-DTI3D", type=bool)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image2video_synthesis_using_cinns_tpu.data import get_eval_loader
+    from image2video_synthesis_using_cinns_tpu.data.augment import build_augment
+    from image2video_synthesis_using_cinns_tpu.data.loader import Loader
+    from image2video_synthesis_using_cinns_tpu.metrics.diversity import (
+        compute_DTI3D_diversity,
+        compute_I3D_diversity,
+        compute_vgg_diversity,
+    )
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.utils.seed import set_seed
+
+    set_seed(249)
+
+    path_ds = f"{args.dataset}/{args.texture}/" if args.dataset == "DTDB" else args.dataset
+    ckpt_path = args.ckpt_path or f"./models/{path_ds}/stage2/"
+    model = Model(ckpt_path, args.seq_length, seed=249)
+    img_size = model.config.Data["img_size"]
+
+    dataset = get_eval_loader(args.dataset, args.seq_length, args.data_path, model.config)
+    loader = Loader(dataset, args.bs, shuffle=False, drop_last=False, workers=10)
+    aug = build_augment(img_size, None, False, False)
+
+    seq_fake = []
+    for _ in range(args.n_realiz):
+        seq_fakes = []
+        for batch in loader.epoch_iter(0):
+            seq_cl = aug(jnp.asarray(batch["seq_raw"]), jax.random.PRNGKey(0))
+            seq = np.transpose(np.asarray(seq_cl), (0, 1, 4, 2, 3))
+            seq_fakes.append(np.asarray(model(seq[:, 0])))
+        seq_fake.append(np.concatenate(seq_fakes, axis=0))
+    seq1 = np.stack(seq_fake, axis=1)  # (B, n_realiz, T, C, H, W)
+
+    if args.VGG:
+        div = compute_vgg_diversity(seq1)
+        print(f"Diversity score of {div} using VGG backbone")
+    if args.DTI3D:
+        div = compute_DTI3D_diversity(seq1)
+        print(f"Diversity score of {div} using I3D backbone pretrained on dynamic textures")
+    if args.I3D:
+        div = compute_I3D_diversity(seq1, args.n_realiz)
+        print(f"Diversity score of {div} using I3D kinetics backbone")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Synthesis-quality evaluation CLI (FID / LPIPS / DTFVD / FVD).
+
+Flag/protocol parity with reference ``eval_synthesis_quality.py``: fixed seed
+249, eval loader at ``seq_length + 1``, dataset-specific frame-concatenation
+protocols (bair: prepend GT frame 0 + drop last generated frame per the
+FVD-paper convention; iPER: prepend GT frame, keep all generated; textures:
+generated only), then the selected metrics. The official TF1 FVD is replaced
+by the JAX kinetics-I3D path with videos grouped in 16s (see
+``metrics/fvd.py`` for the documented delta).
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-gpu", type=str, required=False, help="ignored (JAX/TPU)")
+    parser.add_argument("-dataset", type=str)
+    parser.add_argument("-texture", type=str, required=False)
+    parser.add_argument("-ckpt_path", type=str, required=False)
+    parser.add_argument("-data_path", type=str, required=False)
+    parser.add_argument("-seq_length", type=int, default=16)
+    parser.add_argument("-bs", type=int, default=6)
+    parser.add_argument("-FID", type=bool)
+    parser.add_argument("-FVD", type=bool)
+    parser.add_argument("-DTFVD", type=bool)
+    parser.add_argument("-LPIPS", type=bool)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image2video_synthesis_using_cinns_tpu.data import get_eval_loader
+    from image2video_synthesis_using_cinns_tpu.data.augment import build_augment
+    from image2video_synthesis_using_cinns_tpu.data.loader import Loader
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.utils.seed import set_seed
+
+    set_seed(249)
+
+    path_ds = f"{args.dataset}/{args.texture}/" if args.dataset == "DTDB" else args.dataset
+    ckpt_path = args.ckpt_path or f"./models/{path_ds}/stage2/"
+    model = Model(ckpt_path, args.seq_length, seed=249)
+    img_size = model.config.Data["img_size"]
+
+    dataset = get_eval_loader(args.dataset, args.seq_length + 1, args.data_path, model.config)
+    loader = Loader(dataset, args.bs, shuffle=False, drop_last=False, workers=10)
+    aug = build_augment(img_size, None, False, False)
+
+    seq_real, seq_fake = [], []
+    for batch in loader.epoch_iter(0):
+        seq_cl = aug(jnp.asarray(batch["seq_raw"]), jax.random.PRNGKey(0))
+        seq = np.transpose(np.asarray(seq_cl), (0, 1, 4, 2, 3))  # (B,T,C,H,W)
+        gen = np.asarray(model(seq[:, 0]))
+        if args.dataset == "bair":
+            gen = np.concatenate((seq[:, :1], gen[:, :-1]), axis=1)
+            seq_real.append(seq[:, :-1])
+        elif args.dataset == "iPER":
+            gen = np.concatenate((seq[:, :1], gen), axis=1)
+            seq_real.append(seq)
+        else:
+            seq_real.append(seq[:, :-1])
+        seq_fake.append(gen)
+
+    seq2 = np.concatenate(seq_real, 0)
+    seq1 = np.concatenate(seq_fake, 0)
+    assert seq2.shape == seq1.shape
+
+    if args.FID or args.LPIPS:
+        pd_imgs = seq1.reshape((-1,) + seq1.shape[2:])
+        gt_imgs = seq2.reshape((-1,) + seq2.shape[2:])
+
+    if args.FID:
+        print("Evaluate FID")
+        from image2video_synthesis_using_cinns_tpu.metrics.fid import (
+            calculate_FID,
+            load_inception,
+        )
+
+        FID, _ = calculate_FID(load_inception(), pd_imgs, gt_imgs, 50, 2048)
+        print(f"FID score of {FID}")
+
+    if args.LPIPS:
+        print("Evaluate LPIPS")
+        from image2video_synthesis_using_cinns_tpu.metrics.lpips_eval import (
+            compute_lpips,
+        )
+
+        val = compute_lpips(pd_imgs, gt_imgs, batch_size=10)
+        print(f"LPIPS score of {val}")
+
+    if args.DTFVD:
+        print("Evaluate DTFVD")
+        from image2video_synthesis_using_cinns_tpu.metrics import fvd as fvd_mod
+
+        kind = "dt32" if args.seq_length > 16 else "dt16"
+        model_i3d = fvd_mod.load_model(kind)
+        s1 = np.transpose(seq1, (0, 1, 3, 4, 2))
+        s2 = np.transpose(seq2, (0, 1, 3, 4, 2))
+        DTFVD = fvd_mod.calculate_FVD(model_i3d, s1, s2, 40)
+        print(f"DTFVD score of {DTFVD}")
+
+    if args.FVD:
+        print("Evaluate FVD")
+        from image2video_synthesis_using_cinns_tpu.metrics.fvd import (
+            compute_fvd_official_protocol,
+        )
+
+        g = seq1[: seq1.shape[0] // 16 * 16].reshape(
+            (-1, 16) + seq1.shape[1:]
+        )
+        r = seq2[: seq2.shape[0] // 16 * 16].reshape(
+            (-1, 16) + seq2.shape[1:]
+        )
+        fvd = compute_fvd_official_protocol(g, r)
+        print(f"FVD score of {fvd}")
+
+
+if __name__ == "__main__":
+    main()

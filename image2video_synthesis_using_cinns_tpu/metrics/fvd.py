@@ -1,0 +1,136 @@
+"""FVD / DTFVD scoring on TPU.
+
+Protocol parity:
+  * kinetics FVD (reference ``metrics/PyTorch_FVD/FVD_logging.py``):
+    bilinear-resize frames to 224 (align_corners=True), denorm [-1,1]→[0,1]
+    if needed, I3D 400-d *logits* activations, Fréchet distance.
+  * DTFVD (reference ``metrics/DTFVD/DTFVD_Score.py``): DTDB-trained I3D,
+    1024-d pre-logits representation; the 16-frame path tiles the video 3x in
+    time then truncates to 16 (line 174); 32-frame path asserts length 32.
+  * official FVD (reference ``metrics/FVD/FVD.py``, TF1 + TF-hub): replaced by
+    the JAX kinetics-I3D logits path — same metric definition (I3D logits +
+    Fréchet), different backbone weights provenance; videos are grouped in 16s
+    by the eval CLI exactly like the reference (``eval_synthesis_quality.py:
+    110-112``). The numerical delta vs the TF-hub graph is a weight-port
+    delta, not a protocol change.
+
+Weights: converted checkpoints at ``models/PI3D/model_rgb.msgpack`` and
+``models/DTI3D/length{16,32}/...`` (mirroring the reference's manual-download
+paths); ``utils/convert.py`` produces them from the torch files. Without them
+``load_model`` raises FileNotFoundError and callers degrade gracefully.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.backbones.i3d import I3D
+from ..ops.resize import resize_bilinear_align_corners
+from ..utils import checkpoint as ckpt_io
+from .frechet import frechet_from_activations
+
+
+class I3DModel(NamedTuple):
+    module: I3D
+    variables: dict
+    kind: str  # 'kinetics' | 'dt16' | 'dt32'
+
+
+def load_model(kind: str = "kinetics", weights_root: str = "models") -> I3DModel:
+    if kind == "kinetics":
+        module = I3D(num_classes=400, head="logits")
+        path = os.path.join(weights_root, "PI3D", "model_rgb.msgpack")
+    elif kind == "dt16":
+        module = I3D(num_classes=18, head="representation", avg_pool_t=2)
+        path = os.path.join(weights_root, "DTI3D", "length16", "I3D_16.msgpack")
+    elif kind == "dt32":
+        module = I3D(num_classes=18, head="representation", avg_pool_t=4)
+        path = os.path.join(weights_root, "DTI3D", "length32", "I3D_32.msgpack")
+    else:
+        raise ValueError(kind)
+
+    found = ckpt_io.find(os.path.splitext(path)[0])
+    if found is None:
+        raise FileNotFoundError(
+            f"I3D weights not found at {path}; convert the reference weights "
+            "with utils/convert.py (see README)"
+        )
+    payload = ckpt_io.load(found)
+    variables = payload.get("state_dict", payload)
+    return I3DModel(module, variables, kind)
+
+
+def _resize224(videos: jax.Array) -> jax.Array:
+    b, t = videos.shape[:2]
+    flat = videos.reshape((-1,) + videos.shape[2:])
+    flat = resize_bilinear_align_corners(flat, (224, 224))
+    return flat.reshape((b, t, 224, 224, videos.shape[-1]))
+
+
+def _activation_fn(model: I3DModel):
+    @jax.jit
+    def run(variables, batch):
+        x = _resize224(batch)
+        x = jnp.where(jnp.min(x) < 0, (x + 1.0) / 2.0, x)  # denorm if [-1,1]
+        out = model.module.apply(variables, x)
+        if model.kind == "kinetics":
+            return out[1]  # logits
+        return out
+
+    return run
+
+
+def get_activations(model: I3DModel, videos, batch_size: int) -> np.ndarray:
+    """videos: (N, T, H, W, 3) channels-last float array (any device)."""
+    run = _activation_fn(model)
+    n = videos.shape[0]
+    bs = min(batch_size, n)
+    n_batches = n // bs
+    outs = []
+    for i in range(n_batches):
+        batch = jnp.asarray(videos[i * bs : (i + 1) * bs])
+        outs.append(np.asarray(run(model.variables, batch)))
+    return np.concatenate(outs, axis=0)
+
+
+def _prep_dt(videos, length: int):
+    if length == 16:
+        # tile 3x along time then truncate (reference DTFVD_Score.py:174)
+        videos = np.concatenate([videos] * 3, axis=1)[:, :16]
+    else:
+        assert videos.shape[1] == 32, "DTFVD-32 requires 32-frame videos"
+    return videos
+
+
+def calculate_FVD(model: I3DModel, data_gen, data_orig, batch_size: int) -> float:
+    """Channels-last videos (N,T,H,W,3) in [-1,1] (or [0,1])."""
+    data_gen = np.asarray(data_gen)
+    data_orig = np.asarray(data_orig)
+    if model.kind == "dt16":
+        data_gen, data_orig = _prep_dt(data_gen, 16), _prep_dt(data_orig, 16)
+    elif model.kind == "dt32":
+        data_gen, data_orig = _prep_dt(data_gen, 32), _prep_dt(data_orig, 32)
+    act1 = get_activations(model, data_gen, batch_size)
+    act2 = get_activations(model, data_orig, batch_size)
+    return frechet_from_activations(act1, act2)
+
+
+def compute_fvd_official_protocol(seq_fake, seq_real) -> float:
+    """Replacement for the TF1 official-FVD driver
+    (``metrics/FVD/evaluate_FVD.py:13-55``): accepts the grouped (G, 16, T, C,
+    H, W) torch-layout tensors the eval CLI builds, flattens the groups and
+    scores with the kinetics I3D."""
+    model = load_model("kinetics")
+    f = np.asarray(seq_fake)
+    r = np.asarray(seq_real)
+    f = f.reshape((-1,) + f.shape[2:])
+    r = r.reshape((-1,) + r.shape[2:])
+    # (N, T, C, H, W) → channels-last
+    f = np.transpose(f, (0, 1, 3, 4, 2))
+    r = np.transpose(r, (0, 1, 3, 4, 2))
+    return calculate_FVD(model, f, r, batch_size=16)

@@ -84,19 +84,40 @@ class _SpectralMixin:
         if not self.use_spectral:  # type: ignore[attr-defined]
             return kernel
         out_features = kernel.shape[-1]
+        in_flat = 1
+        for d in kernel.shape[:-1]:
+            in_flat *= d
         u_var = self.variable(  # type: ignore[attr-defined]
             "spectral",
             "u",
             lambda: _init_u(self.make_rng("params"), out_features),  # type: ignore[attr-defined]
         )
-        matrix = kernel_to_matrix(kernel)
-        update = (
-            not self.is_initializing()  # type: ignore[attr-defined]
-            and self.is_mutable_collection("spectral")  # type: ignore[attr-defined]
+        v_var = self.variable(  # type: ignore[attr-defined]
+            "spectral",
+            "v",
+            lambda: _init_u(self.make_rng("params"), in_flat),  # type: ignore[attr-defined]
         )
-        sigma, new_u = spectral_normalize(matrix, u_var.value, update=update)
-        if update:
-            u_var.value = new_u
+        matrix = kernel_to_matrix(kernel)
+        eps = getattr(self, "sn_eps", 1e-12)
+        mode = getattr(self, "sn_mode", "torch")
+        if mode == "biggan":
+            # reference BigGAN SpectralNorm (generator.py:31-43) recomputes
+            # (v, u) from the *stored* u on every forward and never persists
+            # the update — replicate: iterate, use refreshed vectors, no write.
+            sigma, _, _ = spectral_normalize(
+                matrix, u_var.value, v_var.value, update=True, eps=eps
+            )
+        else:
+            update = (
+                not self.is_initializing()  # type: ignore[attr-defined]
+                and self.is_mutable_collection("spectral")  # type: ignore[attr-defined]
+            )
+            sigma, new_u, new_v = spectral_normalize(
+                matrix, u_var.value, v_var.value, update=update, eps=eps
+            )
+            if update:
+                u_var.value = new_u
+                v_var.value = new_v
         return kernel / sigma
 
 
@@ -125,6 +146,8 @@ class SNConv(nn.Module, _SpectralMixin):
     kernel_init: Callable = None  # type: ignore[assignment]
     bias_init: Callable = None  # type: ignore[assignment]
     dtype: Dtype = None
+    sn_eps: float = 1e-12
+    sn_mode: str = "torch"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -182,6 +205,8 @@ class SNDense(nn.Module, _SpectralMixin):
     kernel_init: Callable = None  # type: ignore[assignment]
     bias_init: Callable = None  # type: ignore[assignment]
     dtype: Dtype = None
+    sn_eps: float = 1e-12
+    sn_mode: str = "torch"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

@@ -176,9 +176,14 @@ class _ResNet3DBackbone(nn.Module):
                 name=f"layer{stage}_block0",
             )(x)
             inplanes = planes * expansion
+            # reference quirk (resnet3D.py:197-198, 278-279): blocks after the
+            # first are built WITHOUT the spectral flag, so they fall back to
+            # the block-class default — False for BasicBlock, True for
+            # Bottleneck.
+            rest_spectral = block_kind == "bottleneck"
             for b in range(1, layers[stage]):
                 x = Block(
-                    planes, spectral=self.use_spectral_norm,
+                    planes, spectral=rest_spectral,
                     conv_init=self.conv_init, name=f"layer{stage}_block{b}",
                 )(x)
             features.append(x)

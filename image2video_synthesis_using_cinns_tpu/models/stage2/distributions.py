@@ -7,17 +7,18 @@ parameters are chunked into (mean, logvar), logvar clamped to [-30, 10].
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class DiagonalGaussianDistribution:
     mean: jax.Array
     logvar: jax.Array
-    deterministic: bool = False
+    deterministic: bool = field(default=False, metadata=dict(static=True))
 
     @classmethod
     def from_params(cls, parameters: jax.Array, deterministic: bool = False):

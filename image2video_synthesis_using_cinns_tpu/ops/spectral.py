@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 class SpectralState(NamedTuple):
     u: jax.Array  # (out_features,)
+    v: jax.Array  # (in_flat,)
 
 
 def _l2normalize(v: jax.Array, eps: float) -> jax.Array:
@@ -33,32 +34,35 @@ def _l2normalize(v: jax.Array, eps: float) -> jax.Array:
 def spectral_normalize(
     w_matrix: jax.Array,
     u: jax.Array,
+    v: jax.Array,
     n_iters: int = 1,
     update: bool = True,
     eps: float = 1e-12,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Normalise ``w_matrix`` (out, in_flat) by its leading singular value.
 
-    Returns (sigma, new_u). One power iteration per call, as torch does.
-    When ``update`` is False, sigma is still estimated with a fresh v from the
-    stored u (matching torch eval-mode forward), but u is returned unchanged.
+    Returns (sigma, new_u, new_v). torch semantics: in training one power
+    iteration refines (u, v) and sigma uses the refreshed vectors; in eval
+    (``update=False``) sigma is computed from the *stored* (u, v) with no
+    iteration — matching ``torch.nn.utils.spectral_norm`` exactly.
     """
-    u_cur = u
-    for _ in range(n_iters):
-        v = _l2normalize(w_matrix.T @ u_cur, eps)
-        u_cur = _l2normalize(w_matrix @ v, eps)
-    u_cur = jax.lax.stop_gradient(u_cur)
-    v = jax.lax.stop_gradient(v)
-    sigma = jnp.einsum("i,ij,j->", u_cur, w_matrix, v)
-    return sigma, (u_cur if update else u)
+    if update:
+        u_cur, v_cur = u, v
+        for _ in range(n_iters):
+            v_cur = _l2normalize(w_matrix.T @ u_cur, eps)
+            u_cur = _l2normalize(w_matrix @ v_cur, eps)
+        u_cur = jax.lax.stop_gradient(u_cur)
+        v_cur = jax.lax.stop_gradient(v_cur)
+    else:
+        u_cur, v_cur = u, v
+    sigma = jnp.einsum("i,ij,j->", u_cur, w_matrix, v_cur)
+    return sigma, u_cur, v_cur
 
 
 def kernel_to_matrix(kernel: jax.Array) -> jax.Array:
-    """Flatten a channels-last conv kernel (*k, in, out) to torch's (out, -1).
-
-    torch reshapes (out, in, *k) row-major to (out, in*prod(k)); the singular
-    value is invariant to column permutation, so any consistent flattening
-    gives the same sigma — we use (out, prod(k)*in).
-    """
-    out = kernel.shape[-1]
-    return jnp.moveaxis(kernel, -1, 0).reshape(out, -1)
+    """Flatten a channels-last conv kernel (*k, in, out) to torch's (out, -1)
+    with torch's exact column ordering (out, in, *k row-major) — so converted
+    ``weight_v`` vectors line up without permutation."""
+    nd = kernel.ndim
+    mat = jnp.transpose(kernel, (nd - 1, nd - 2) + tuple(range(nd - 2)))
+    return mat.reshape(mat.shape[0], -1)

@@ -38,6 +38,8 @@ PRESETS = {
         cond_z=16,
         ae_type="resnet18",
         disc_channels=[16, 16, 32, 32, 32],
+        # keep the temporal disc's final spatial size at 4 for 32px inputs
+        disc_stride_s=[1, 1, 2, 1],
     ),
     # full-size reference BAIR architecture (stage1_VAE/configs/bair_config.yaml,
     # stage2_cINN/configs/bair_config.yaml, stage2_cINN/AE/configs/bair_config.yaml)
@@ -56,6 +58,7 @@ PRESETS = {
         cond_z=64,
         ae_type="resnet50",
         disc_channels=[64, 64, 128, 256, 512],
+        disc_stride_s=[1, 1, 2, 2],
     ),
 }
 
@@ -86,7 +89,7 @@ def stage1_config(p: dict, control: bool = False) -> cfg.Config:
                 "use_max_pool": True,
                 "channels": p["disc_channels"],
                 "stride_t": [2, 2, 2, 2],
-                "stride_s": [1, 1, 2, 2],
+                "stride_s": p["disc_stride_s"],
                 "spectral_norm": True,
             },
             "Discriminator_Patch": {
@@ -254,3 +257,35 @@ def make_model_dir(root: str, preset: str = "tiny", seed: int = 0, control: bool
         {"state_dict": flow_vars},
     )
     return stage2_dir
+
+
+def make_bair_data_dir(root: str, n_videos: int = 2, img: int = 32,
+                       modes: tuple = ("train", "eval", "test")) -> str:
+    """Write a synthetic BAIR-layout dataset (30 frames/clip, moving square)
+    for training smoke tests: ``<root>/<mode>/traj_0/<k>/<frame>.png`` plus an
+    endpoint CSV per clip."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for mode in modes:
+        for k in range(n_videos):
+            d = os.path.join(root, mode, "traj_0", str(k))
+            os.makedirs(d, exist_ok=True)
+            x0, y0 = rng.integers(0, img - 8, 2)
+            dx, dy = rng.integers(-1, 2, 2)
+            positions = []
+            for f in range(30):
+                frame = rng.integers(0, 40, (img, img, 3)).astype(np.uint8)
+                xx = int(np.clip(x0 + f * dx, 0, img - 8))
+                yy = int(np.clip(y0 + f * dy, 0, img - 8))
+                frame[yy : yy + 8, xx : xx + 8] = [250, 120, 30]
+                Image.fromarray(frame).save(os.path.join(d, f"{f}.png"))
+                positions.append(
+                    [0.4264 + 0.0002 * xx / img, -0.3 + 0.8 * yy / img, 0.19 + 0.1 * f / 30]
+                )
+            np.savetxt(
+                os.path.join(d, "endeffector_positions.csv"),
+                np.asarray(positions), delimiter=",",
+            )
+    return root

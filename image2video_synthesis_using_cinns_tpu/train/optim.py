@@ -44,7 +44,10 @@ def get_lr(opt_state) -> float:
 
 
 def set_lr(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = type(opt_state.hyperparams["learning_rate"])(lr)
+    import jax.numpy as jnp
+
+    cur = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=cur.dtype)
     return opt_state
 
 

@@ -1,0 +1,310 @@
+"""Stage-1 video-VAE trainer (epoch loop).
+
+Parity with reference ``stage1_VAE/main.py``: builds the 4 networks + LPIPS
+(+ I3D logging model when available), 3 Adam(0.5, 0.9) optimisers with
+per-epoch ExponentialLR, crash-resume from ``latest_checkpoint_*``, epoch loop
+= train → validate → posterior-FVD → latest + best-PFVD checkpoints, CSV /
+wandb logging with the reference key schema (lines 89-244).
+
+Data-parallel over the device mesh: batch sharded, state replicated (see
+``parallel/mesh.py``); the whole adversarial step is one jitted program
+(``stage1_step.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..data import get_loader
+from ..data.augment import build_augment
+from ..data.loader import Loader
+from ..data.registry import augment_params
+from ..models.backbones.lpips import LPIPS
+from ..models.stage1.decoder import Generator
+from ..models.stage1.patch_disc import NLayerDiscriminator
+from ..models.stage1.resnet3d import Discriminator, Encoder
+from ..models.layers import merge_actnorm_init
+from ..parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from ..utils import checkpoint as ckpt_io
+from ..utils.logging import CSVlogger, Logging, WandbSink
+from ..utils.seed import set_seed
+from ..utils.video import plot_vid
+from .optim import LRController, adam_torch, set_lr
+from .stage1_step import (
+    Stage1Bundle,
+    Stage1State,
+    make_stage1_eval_step,
+    make_stage1_train_step,
+)
+
+TRAIN_KEYS = [
+    "Loss_VAE", "Loss_L1", "LPIPS", "Loss_KL", "Loss_GEN_S", "Loss_GEN_T",
+    "Loss_Disc_T", "Loss_Fmap_T", "L_GP", "Logits_Real_T", "Logits_Fake_T",
+    "Loss_Disc_S", "Logits_Real_S", "Logits_Fake_S", "PSNR", "SSIM",
+]
+TEST_KEYS = ["Loss_L1", "LPIPS", "L_KL", "PSNR", "SSIM", "PFVD"]
+
+
+def build_stage1(opt, rng_key):
+    img = opt.Data["img_size"]
+    T = opt.Data["sequence_length"] - 1
+    z = opt.Decoder["z_dim"]
+    k = jax.random.split(rng_key, 5)
+
+    decoder = Generator.from_config(opt.Decoder)
+    dec_vars = jax.jit(decoder.init)(
+        {"params": k[0]}, jnp.zeros((1, img, img, 3)), jnp.zeros((1, z))
+    )
+    encoder = Encoder.from_config(opt.Encoder)
+    enc_vars = jax.jit(encoder.init)(
+        {"params": k[1], "sample": k[1]}, jnp.zeros((1, T, img, img, 3))
+    )
+    disc_t = Discriminator.from_config(opt.Discriminator_Temporal)
+    sub_len = min(int(opt.Training["subsample_length"]), T)
+    dt_vars = jax.jit(disc_t.init)(
+        {"params": k[2]}, jnp.zeros((1, sub_len, img, img, 3))
+    )
+    disc_s = NLayerDiscriminator.from_config(opt.Discriminator_Patch)
+    ds_vars = jax.jit(disc_s.init)({"params": k[3]}, jnp.zeros((1, img, img, 3)))
+
+    lpips = LPIPS()
+    lpips_vars = jax.jit(lpips.init)(
+        {"params": k[4]}, jnp.zeros((1, img, img, 3)), jnp.zeros((1, img, img, 3))
+    )
+    lpips_path = os.environ.get("I2V_LPIPS_WEIGHTS", "models/lpips/vgg_lpips.msgpack")
+    if os.path.exists(lpips_path):
+        lpips_vars = ckpt_io.load(lpips_path).get("state_dict", ckpt_io.load(lpips_path))
+
+    bundle = Stage1Bundle(decoder, encoder, disc_t, disc_s, lpips, lpips_vars)
+    return bundle, dec_vars, enc_vars, dt_vars, ds_vars
+
+
+def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
+    root_key = set_seed(42)
+    bundle, dec_vars, enc_vars, dt_vars, ds_vars = build_stage1(opt, root_key)
+
+    tr = opt.Training
+    mk_opt = lambda: adam_torch(  # noqa: E731
+        tr["lr"], betas=(0.5, 0.9), weight_decay=tr["weight_decay"]
+    )
+    opt_ae, opt_dt, opt_ds = mk_opt(), mk_opt(), mk_opt()
+
+    # ---- data ---------------------------------------------------------
+    DatasetCls = get_loader(opt.Data["dataset"])
+    train_ds = DatasetCls(opt, mode="train")
+    eval_ds = DatasetCls(opt, mode="eval")
+    train_loader = Loader(train_ds, tr["bs"], workers=tr["workers"], seed=42)
+    eval_loader = Loader(eval_ds, tr["bs_eval"], workers=tr["workers"], seed=43)
+    aug_p, rcrop, _ = augment_params(opt, "train")
+    aug_train = build_augment(opt.Data["img_size"], aug_p, rcrop, True)
+    aug_eval = build_augment(opt.Data["img_size"], aug_p, rcrop, False)
+
+    # ---- logging dirs -------------------------------------------------
+    dt_now = datetime.now()
+    run_name = "Stage1_{}_Date-{}-{}-{}-{}-{}-{}_{}".format(
+        opt.Data["dataset"], dt_now.year, dt_now.month, dt_now.day,
+        dt_now.hour, dt_now.minute, dt_now.second, tr["savename"],
+    )
+    save_path = os.path.join(tr["save_path"] or ".", run_name)
+    os.makedirs(os.path.join(save_path, "videos"), exist_ok=True)
+    opt.Training["save_path"] = save_path
+    cfg.save(opt, os.path.join(save_path, "config_stage1.yaml"))
+
+    wandb_sink = WandbSink()
+    wandb_sink.init(opt.get("Logging"), opt, save_path, tr["savename"])
+    log_train = Logging(TRAIN_KEYS)
+    log_test = Logging(TEST_KEYS[:-1])
+    full_log_train = CSVlogger(
+        os.path.join(save_path, "log_per_epoch_train.csv"), ["Epoch", "Time", "LR"] + TRAIN_KEYS
+    )
+    full_log_test = CSVlogger(
+        os.path.join(save_path, "log_per_epoch_eval.csv"), ["Epoch", "Time", "LR"] + TEST_KEYS
+    )
+
+    # ---- resume -------------------------------------------------------
+    start_epoch = 0
+    sched_state = None
+    if tr.get("reload_path"):
+        payloads = {}
+        for name in ("GEN", "ENC", "DISC_t", "DISC_s"):
+            p = ckpt_io.find(os.path.join(tr["reload_path"], f"latest_checkpoint_{name}"))
+            if p:
+                payloads[name] = ckpt_io.load(p)
+        if "GEN" in payloads:
+            dec_vars = payloads["GEN"]["state_dict"]
+            enc_vars = payloads["ENC"]["state_dict"]
+            dt_vars = payloads["DISC_t"]["state_dict"]
+            ds_vars = payloads["DISC_s"]["state_dict"]
+            start_epoch = int(payloads["GEN"]["epoch"])
+            sched_state = payloads["GEN"].get("scheduler_state_dict")
+
+    # ---- mesh + state -------------------------------------------------
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    opt_ae_state = opt_ae.init((dec_vars["params"], enc_vars["params"]))
+    opt_dt_state = opt_dt.init(dt_vars["params"])
+    opt_ds_state = opt_ds.init(ds_vars["params"])
+    if tr.get("reload_path") and start_epoch > 0:
+        # restore optimiser moments (reference stage1_VAE/main.py:129-131)
+        for name, target in (
+            ("GEN", opt_ae_state), ("DISC_t", opt_dt_state), ("DISC_s", opt_ds_state)
+        ):
+            if name in payloads and "optim_state_dict" in payloads[name]:
+                restored = ckpt_io.restore_into(target, payloads[name]["optim_state_dict"])
+                if name == "GEN":
+                    opt_ae_state = restored
+                elif name == "DISC_t":
+                    opt_dt_state = restored
+                else:
+                    opt_ds_state = restored
+    state = Stage1State(
+        dec_vars, enc_vars, dt_vars, ds_vars,
+        opt_ae_state, opt_dt_state, opt_ds_state,
+    )
+    state = Stage1State(*[replicate(mesh, x) for x in state])
+
+    step_fn = make_stage1_train_step(bundle, tr, (opt_ae, opt_dt, opt_ds))
+    eval_fn = make_stage1_eval_step(bundle)
+
+    scheds = [
+        LRController(tr["lr"], "exponential", gamma=tr["lr_gamma"]) for _ in range(3)
+    ]
+    if sched_state is not None:
+        for s in scheds:
+            s.load_state_dict(jax.tree.map(float, sched_state))
+
+    actnorm_done = start_epoch > 0
+    best_PFVD = 999.0
+    global_step = 0
+    sequences = None
+
+    def prep(batch, train, key):
+        seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
+        b, _ = pad_to_multiple({"seq": seq}, n_dev)
+        return shard_batch(mesh, b)["seq"]
+
+    for epoch in range(start_epoch, tr["n_epochs"]):
+        epoch_time = time.time()
+        lr = scheds[0].lr
+
+        # ---------------- train ----------------
+        log_train.reset()
+        for i, batch in enumerate(train_loader.epoch_iter(epoch)):
+            key = jax.random.fold_in(root_key, global_step)
+            seq = prep(batch, True, key)
+
+            if not actnorm_done:
+                # patch-disc ActNorm data-dependent init on the first batch
+                frames = seq.reshape((-1,) + seq.shape[2:])[:20]
+                _, upd = jax.jit(
+                    lambda v, x: bundle.disc_s.apply(
+                        v, x, train=True, mutable=["actnorm_stats"]
+                    )
+                )(state.disc_s_vars, frames)
+                new_ds_params = merge_actnorm_init(
+                    state.disc_s_vars["params"], upd["actnorm_stats"]
+                )
+                ds_vars = dict(state.disc_s_vars)
+                ds_vars["params"] = new_ds_params
+                state = state._replace(
+                    disc_s_vars=ds_vars, opt_ds=replicate(mesh, opt_ds.init(new_ds_params))
+                )
+                actnorm_done = True
+
+            state, metrics, seq_gen = step_fn(
+                state, seq, jnp.asarray(epoch), jax.random.fold_in(key, 1)
+            )
+            metrics = {k: float(v) for k, v in metrics.items()}
+            log_train.append(metrics)
+            wandb_sink.log(metrics)
+            # plot_vid expects the torch (B,T,C,H,W) layout
+            sequences = [
+                np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
+                np.transpose(np.asarray(seq[:, 1:]), (0, 1, 4, 2, 3)),
+            ]
+            global_step += 1
+            if max_steps and global_step >= max_steps:
+                break
+
+        if sequences is not None:
+            plot_vid(opt, sequences, epoch, mode="train")
+
+        # ---------------- validate ----------------
+        log_test.reset()
+        for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
+            key = jax.random.fold_in(root_key, 20_000_000 + epoch * 10_000 + i)
+            seq = prep(batch, False, key)
+            metrics, seq_gen = eval_fn(state.dec_vars, state.enc_vars, seq, key)
+            log_test.append({k: float(v) for k, v in metrics.items()})
+            if max_steps and i >= 1:
+                break
+
+        # ---------------- FVD(posterior) ----------------
+        PFVD = float("nan")
+        if eval_fvd:
+            try:
+                from .fvd_eval import evaluate_FVD_posterior
+
+                PFVD = evaluate_FVD_posterior(
+                    eval_loader, aug_eval, bundle, state, tr.get("FVD", "FVD")
+                )
+                wandb_sink.log({"FVD": PFVD})
+            except FileNotFoundError:
+                eval_fvd = False
+
+        # ---------------- checkpoints ----------------
+        host_state = jax.device_get(state)
+        sched_sd = scheds[0].state_dict()
+        saves = {
+            "GEN": (host_state.dec_vars, host_state.opt_ae),
+            "ENC": (host_state.enc_vars, host_state.opt_ae),
+            "DISC_t": (host_state.disc_t_vars, host_state.opt_dt),
+            "DISC_s": (host_state.disc_s_vars, host_state.opt_ds),
+        }
+        for name, (vars_, opt_state) in saves.items():
+            ckpt_io.save(
+                os.path.join(save_path, f"latest_checkpoint_{name}.msgpack"),
+                {
+                    "epoch": epoch + 1,
+                    "state_dict": vars_,
+                    "optim_state_dict": opt_state,
+                    "scheduler_state_dict": sched_sd,
+                },
+            )
+        metric = PFVD if PFVD == PFVD else log_test.log()[0]
+        if metric < best_PFVD:
+            for name in ("GEN", "ENC"):
+                vars_, opt_state = saves[name]
+                ckpt_io.save(
+                    os.path.join(save_path, f"best_PFVD_{name}.msgpack"),
+                    {
+                        "epoch": epoch + 1,
+                        "state_dict": vars_,
+                        "optim_state_dict": opt_state,
+                        "scheduler_state_dict": sched_sd,
+                    },
+                )
+            best_PFVD = metric
+
+        # ---------------- schedulers ----------------
+        new_lr_ae = scheds[0].step()
+        set_lr(state.opt_ae, new_lr_ae)
+        if epoch >= tr["pretrain"]:
+            set_lr(state.opt_dt, scheds[1].step())
+            set_lr(state.opt_ds, scheds[2].step())
+
+        dt_epoch = time.time() - epoch_time
+        full_log_train.write([epoch, dt_epoch, lr, *log_train.log()])
+        full_log_test.write([epoch, dt_epoch, lr, *log_test.log(), PFVD])
+
+        if max_steps and global_step >= max_steps:
+            break
+
+    return {"save_path": save_path, "best_metric": best_PFVD, "state": state}

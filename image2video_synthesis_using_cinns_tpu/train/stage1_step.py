@@ -1,0 +1,306 @@
+"""Stage-1 VAE-GAN training step: three optimiser partitions in ONE jitted fn.
+
+Behaviour parity with reference ``stage1_VAE/modules/loss.py:47-216``
+(``Backward``): a single call performs, in order,
+  (a) temporal-disc update — hinge + gradient penalty on the real clip
+      (lines 94-109; the GP is a second-order term, expressed here as
+      ``jax.grad`` through an inner input-gradient, which XLA differentiates
+      exactly like torch's ``create_graph=True`` double backward),
+  (b) patch-disc update on 20 random frames (lines 111-118),
+  (c) VAE (encoder+decoder) update — generator hinge on both discs, L1
+      feature matching (temporal), LPIPS, L1 recon, KL, each with its config
+      weight (lines 120-151),
+plus PSNR/SSIM metrics and the >=16-frame temporal subsample for the discs
+(lines 79-92). Discriminator updates are gated on ``epoch >= pretrain``
+(torch skips ``optimizer.step``; here the gated update selects old vs new
+params/opt-state, so Adam moments also stay frozen during pretrain).
+
+The torch version reuses one ``seq_gen`` tensor across all three backward
+passes; functionally we recompute the generator forward inside the VAE loss
+with the *same* rng so the sampled motion noise is identical — same math, and
+XLA CSEs duplicate subgraphs where possible.
+
+Spectral-norm power iteration: torch advances ``u`` on every discriminator /
+generator forward. Here each step ends with one mutable refresh pass per
+network (one power iteration per step), keeping ``u`` state explicit and the
+gradient computations pure.
+
+TPU-first: the whole step (forwards + 3 grad computations + 3 Adam updates +
+spectral refresh) is one compiled program; under a data mesh the batch is
+sharded and XLA inserts the gradient all-reduces. ``jax.checkpoint`` wraps the
+decoder forward inside the VAE gradient to bound activation memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.common import KL, fmap_loss, hinge_loss, psnr, ssim
+
+
+class Stage1Bundle(NamedTuple):
+    """Static model objects + frozen LPIPS variables."""
+
+    decoder: Any
+    encoder: Any
+    disc_t: Any
+    disc_s: Any
+    lpips: Any
+    lpips_vars: Any
+
+
+class Stage1State(NamedTuple):
+    dec_vars: Any  # full variable dicts: {'params': ..., 'spectral': ...}
+    enc_vars: Any
+    disc_t_vars: Any
+    disc_s_vars: Any
+    opt_ae: Any
+    opt_dt: Any
+    opt_ds: Any
+
+
+def split_vars(variables):
+    params = variables["params"]
+    aux = {k: v for k, v in variables.items() if k != "params"}
+    return params, aux
+
+
+def join_vars(params, aux):
+    return {"params": params, **aux}
+
+
+def _flat_frames(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _gated(gate, new_tree, old_tree):
+    cond = gate.astype(bool)
+    return jax.tree.map(lambda n, o: jnp.where(cond, n, o), new_tree, old_tree)
+
+
+def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
+    """Returns jitted ``step(state, seq, epoch, rng) → (state, metrics,
+    seq_gen)``."""
+    opt_ae, opt_dt, opt_ds = optimizers
+    w_kl = float(opt_cfg["w_kl"])
+    w_coup_t = float(opt_cfg["w_coup_t"])
+    w_fmap_t = float(opt_cfg["w_fmap_t"])
+    w_recon = float(opt_cfg["w_recon"])
+    w_GP = float(opt_cfg["w_GP"])
+    w_percep = float(opt_cfg["w_percep"])
+    pretrain = int(opt_cfg["pretrain"])
+    sub_len = int(opt_cfg["subsample_length"])
+    n_patch = 20
+
+    decoder, encoder = bundle.decoder, bundle.encoder
+    disc_t, disc_s = bundle.disc_t, bundle.disc_s
+
+    def fwd_vae(dec_params, enc_params, aux, seq, k_sample):
+        dec_aux, enc_aux = aux
+        seq_orig = seq[:, 1:]
+        motion, mu, logvar = encoder.apply(
+            join_vars(enc_params, enc_aux), seq_orig, rngs={"sample": k_sample}
+        )
+        seq_gen = jax.checkpoint(
+            lambda p, img, m: decoder.apply(join_vars(p, dec_aux), img, m)
+        )(dec_params, seq[:, 0], motion)
+        return seq_gen, seq_orig, mu, logvar
+
+    def subsample(seq_gen, seq_orig, k):
+        if seq_gen.shape[1] >= 16:
+            start = jax.random.randint(k, (), 0, seq_gen.shape[1] - sub_len + 1)
+            fake = jax.lax.dynamic_slice_in_dim(seq_gen, start, sub_len, axis=1)
+            real = jax.lax.dynamic_slice_in_dim(seq_orig, start, sub_len, axis=1)
+            return fake, real
+        return seq_gen, seq_orig
+
+    def patch_frames(seq_gen, seq_orig, k):
+        n_total = seq_orig.shape[0] * seq_orig.shape[1]
+        idx = jax.random.randint(k, (n_patch,), 0, n_total)
+        fake = jnp.take(_flat_frames(seq_gen), idx, axis=0)
+        real = jnp.take(_flat_frames(seq_orig), idx, axis=0)
+        return fake, real
+
+    def step(state: Stage1State, seq, epoch, rng):
+        k_sample, k_sub, k_patch = jax.random.split(rng, 3)
+        dec_params, dec_aux = split_vars(state.dec_vars)
+        enc_params, enc_aux = split_vars(state.enc_vars)
+        gate = (epoch >= pretrain).astype(jnp.float32)
+
+        # ---------- shared forward (discs see it detached) ----------
+        seq_gen, seq_orig, mu, logvar = fwd_vae(
+            dec_params, enc_params, (dec_aux, enc_aux), seq, k_sample
+        )
+        seq_gen_sg = jax.lax.stop_gradient(seq_gen)
+
+        PSNR = psnr(_flat_frames(seq_gen_sg), _flat_frames(seq_orig))
+        SSIM = ssim(_flat_frames(seq_gen_sg), _flat_frames(seq_orig))
+
+        seq_fake, seq_real = subsample(seq_gen_sg, seq_orig, k_sub)
+        data_fake, data_real = patch_frames(seq_gen_sg, seq_orig, k_patch)
+
+        # ---------- (a) temporal discriminator ----------
+        dt_params, dt_aux = split_vars(state.disc_t_vars)
+
+        def d_t_loss(params):
+            variables = join_vars(params, dt_aux)
+            pred_fake, _ = disc_t.apply(variables, seq_fake)
+            pred_real, _ = disc_t.apply(variables, seq_real)
+            l_d = hinge_loss(pred_fake, pred_real, "disc")
+            if w_GP:
+                grad_x = jax.grad(
+                    lambda x: jnp.mean(disc_t.apply(variables, x)[0])
+                )(seq_real)
+                gp = jnp.mean(
+                    jnp.sum(jnp.square(grad_x).reshape(seq_real.shape[0], -1), axis=1)
+                )
+            else:
+                gp = jnp.zeros(())
+            total = l_d + w_GP * gp
+            return total, (l_d, gp, jnp.mean(pred_real), jnp.mean(pred_fake))
+
+        (_, (L_d_t, L_GP, logit_rt, logit_ft)), g_dt = jax.value_and_grad(
+            d_t_loss, has_aux=True
+        )(dt_params)
+        upd, new_opt_dt = opt_dt.update(g_dt, state.opt_dt, dt_params)
+        dt_params = _gated(gate, optax.apply_updates(dt_params, upd), dt_params)
+        opt_dt_state = _gated(gate, new_opt_dt, state.opt_dt)
+
+        # ---------- (b) patch discriminator ----------
+        ds_params, ds_aux = split_vars(state.disc_s_vars)
+
+        def d_s_loss(params):
+            variables = join_vars(params, ds_aux)
+            pred_fake = disc_s.apply(variables, data_fake)
+            pred_real = disc_s.apply(variables, data_real)
+            l_d = hinge_loss(pred_fake, pred_real, "disc")
+            return l_d, (jnp.mean(pred_real), jnp.mean(pred_fake))
+
+        (L_d_s, (logit_rs, logit_fs)), g_ds = jax.value_and_grad(
+            d_s_loss, has_aux=True
+        )(ds_params)
+        upd, new_opt_ds = opt_ds.update(g_ds, state.opt_ds, ds_params)
+        ds_params = _gated(gate, optax.apply_updates(ds_params, upd), ds_params)
+        opt_ds_state = _gated(gate, new_opt_ds, state.opt_ds)
+
+        disc_t_vars = join_vars(dt_params, dt_aux)
+        disc_s_vars = join_vars(ds_params, ds_aux)
+
+        # ---------- (c) VAE (encoder + decoder), against updated discs ------
+        def vae_loss(params):
+            dec_p, enc_p = params
+            sg, so, mu_, logvar_ = fwd_vae(dec_p, enc_p, (dec_aux, enc_aux), seq, k_sample)
+            sf, sr = subsample(sg, so, k_sub)
+            df, _ = patch_frames(sg, so, k_patch)
+
+            pred_fake_s = disc_s.apply(disc_s_vars, df)
+            loss_gen_s = hinge_loss(pred_fake_s, None, "gen")
+
+            pred_fake_t, fmap_f = disc_t.apply(disc_t_vars, sf)
+            _, fmap_r = disc_t.apply(disc_t_vars, sr)
+            coup_t = hinge_loss(pred_fake_t, None, "gen")
+            L_fmap = fmap_loss(fmap_f, fmap_r, "L1")
+
+            lp = jnp.mean(
+                bundle.lpips.apply(
+                    bundle.lpips_vars, _flat_frames(so), _flat_frames(sg)
+                )
+            )
+            L_recon = jnp.mean(jnp.abs(sg - so))
+            L_kl = KL(mu_, logvar_)
+
+            total = (
+                gate * (loss_gen_s + w_coup_t * coup_t + w_fmap_t * L_fmap)
+                + w_percep * lp
+                + w_kl * L_kl
+                + w_recon * L_recon
+            )
+            return total, {
+                "Loss_VAE": total,
+                "Loss_L1": L_recon,
+                "LPIPS": lp,
+                "Loss_KL": L_kl,
+                "Loss_GEN_S": loss_gen_s,
+                "Loss_GEN_T": coup_t,
+                "Loss_Fmap_T": L_fmap,
+            }
+
+        (_, vae_metrics), g_vae = jax.value_and_grad(vae_loss, has_aux=True)(
+            (dec_params, enc_params)
+        )
+        upd, opt_ae_state = opt_ae.update(
+            g_vae, state.opt_ae, (dec_params, enc_params)
+        )
+        dec_params, enc_params = optax.apply_updates((dec_params, enc_params), upd)
+
+        # ---------- spectral-norm power-iteration refresh ----------
+        _, dec_mut = decoder.apply(
+            join_vars(dec_params, dec_aux), seq[:, 0],
+            jax.lax.stop_gradient(mu), mutable=["spectral"],
+        )
+        dec_aux = {**dec_aux, **dec_mut}
+        _, dt_mut = disc_t.apply(
+            join_vars(dt_params, dt_aux), seq_fake, mutable=["spectral"]
+        )
+        dt_aux = {**dt_aux, **dt_mut}
+        _, ds_mut = disc_s.apply(
+            join_vars(ds_params, ds_aux), data_fake, mutable=["spectral"]
+        )
+        ds_aux = {**ds_aux, **ds_mut}
+
+        metrics = dict(vae_metrics)
+        metrics.update(
+            {
+                "Loss_Disc_T": L_d_t,
+                "L_GP": L_GP,
+                "Logits_Real_T": logit_rt,
+                "Logits_Fake_T": logit_ft,
+                "Loss_Disc_S": L_d_s,
+                "Logits_Real_S": logit_rs,
+                "Logits_Fake_S": logit_fs,
+                "PSNR": PSNR,
+                "SSIM": SSIM,
+            }
+        )
+        new_state = Stage1State(
+            join_vars(dec_params, dec_aux),
+            join_vars(enc_params, enc_aux),
+            join_vars(dt_params, dt_aux),
+            join_vars(ds_params, ds_aux),
+            opt_ae_state, opt_dt_state, opt_ds_state,
+        )
+        return new_state, metrics, seq_gen_sg
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_stage1_eval_step(bundle: Stage1Bundle):
+    """Eval pass: recon metrics only (reference ``Backward.eval``, lines
+    183-216)."""
+    decoder, encoder = bundle.decoder, bundle.encoder
+
+    @jax.jit
+    def eval_step(dec_vars, enc_vars, seq, rng):
+        seq_orig = seq[:, 1:]
+        motion, mu, logvar = encoder.apply(enc_vars, seq_orig, rngs={"sample": rng})
+        seq_gen = decoder.apply(dec_vars, seq[:, 0], motion)
+        PSNR = psnr(_flat_frames(seq_gen), _flat_frames(seq_orig))
+        SSIM = ssim(_flat_frames(seq_gen), _flat_frames(seq_orig))
+        lp = jnp.mean(
+            bundle.lpips.apply(
+                bundle.lpips_vars, _flat_frames(seq_orig), _flat_frames(seq_gen)
+            )
+        )
+        L_recon = jnp.mean(jnp.abs(seq_gen - seq_orig))
+        L_kl = KL(mu, logvar)
+        metrics = {
+            "Loss_L1": L_recon, "LPIPS": lp, "L_KL": L_kl,
+            "PSNR": PSNR, "SSIM": SSIM,
+        }
+        return metrics, seq_gen
+
+    return eval_step

@@ -1,0 +1,355 @@
+"""Stage-2 conditioning-AE trainer (BigAE + patch disc, VAE-GAN).
+
+Parity with reference ``stage2_cINN/AE/main.py`` + ``AE/modules/loss.py``:
+  * nll = (L1 + LPIPS) / exp(logvar) + logvar with a *learned scalar* logvar
+    (loss.py:42,56-57), KL from the diagonal posterior,
+  * adaptive discriminator weight ``d_weight = |∇nll| / (|∇g| + 1e-4)`` w.r.t.
+    the decoder's last (colorize) layer, clamped to 1e4 (loss.py:8-19) — here
+    via two cheap backward passes whose colorize-leaf norms give d_weight and
+    whose linear combination is the exact total gradient,
+  * hinge disc loss gated by the ``pretrain`` epoch (``adopt_weight``), disc
+    update skipped when d_loss <= 0 (loss.py:83) — expressed as a masked
+    parameter update,
+  * Adam + ReduceLROnPlateau stepped on the train recon loss (main.py:36-37),
+  * saves ONLY the encoder as ``Encoder_stage2`` when eval recon improves
+    (main.py:152-155) — the artifact the cINN's frozen embedder consumes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import config as cfg
+from ..data import get_loader
+from ..data.augment import build_augment
+from ..data.loader import Loader
+from ..data.registry import augment_params
+from ..models.backbones.lpips import LPIPS
+from ..models.layers import merge_actnorm_init
+from ..models.stage1.patch_disc import NLayerDiscriminator
+from ..models.stage2.biggan import BigAE
+from ..parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from ..utils import checkpoint as ckpt_io
+from ..utils.logging import CSVlogger, Logging, WandbSink
+from ..utils.seed import set_seed
+from .optim import LRController, adam_torch, set_lr
+from .stage1_step import join_vars, split_vars
+
+LOG_KEYS = [
+    "Loss", "Loss_recon", "Loss_nll", "Logvar", "L_KL", "Loss_G", "L_disc",
+    "Logits_real", "Logits_fake", "Disc_weight", "Disc_factor",
+]
+
+
+def _colorize_leaf_norm(grad_params):
+    leaf = grad_params["decoder_wrap"]["decoder"]["colorize"]["kernel"]
+    return jnp.linalg.norm(leaf)
+
+
+def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
+                 opt_gen, opt_disc, w_kl: float, pretrain: int):
+    def recon_and_losses(gen_params, gen_aux, logvar, img, train):
+        variables = join_vars(gen_params, gen_aux)
+        p = network.apply(variables, img, method="encode", train=train)
+        h = network.apply(variables, p.mode(), method="decode_features", train=train)
+        recon = network.apply(variables, h, method="colorize")
+        rec_l1 = jnp.abs(img - recon)
+        p_loss = lpips.apply(lpips_vars, img, recon)  # (B,)
+        rec_loss = rec_l1 + p_loss[:, None, None, None]
+        kl_loss = p.kl()
+        nll = rec_loss / jnp.exp(logvar) + logvar
+        nll_loss = jnp.sum(nll) / nll.shape[0]
+        return recon, rec_loss, nll_loss, kl_loss
+
+    def step(gen_vars, logvar, disc_vars, opt_g, opt_d, img, epoch, train=True):
+        gen_params, gen_aux = split_vars(gen_vars)
+        disc_factor = (epoch >= pretrain).astype(jnp.float32)
+
+        # ---- backward 1: nll + kl w.r.t. (gen params, logvar) ----
+        def loss_nll(args):
+            gp, lv = args
+            _, _, nll_loss, kl_loss = recon_and_losses(gp, gen_aux, lv, img, train)
+            return nll_loss + w_kl * kl_loss, (nll_loss, kl_loss)
+
+        (_, (nll_loss, kl_loss)), g1 = jax.value_and_grad(loss_nll, has_aux=True)(
+            (gen_params, logvar)
+        )
+
+        # ---- backward 2: g_loss w.r.t. gen params ----
+        def loss_g(gp):
+            recon, _, _, _ = recon_and_losses(gp, gen_aux, logvar, img, train)
+            logits_fake = disc.apply(disc_vars, recon)
+            return -jnp.mean(logits_fake)
+
+        g_loss, g2 = jax.value_and_grad(loss_g)(gen_params)
+
+        # adaptive weight from the colorize-layer gradient norms
+        d_weight = _colorize_leaf_norm(g1[0]) / (_colorize_leaf_norm(g2) + 1e-4)
+        d_weight = jax.lax.stop_gradient(jnp.clip(d_weight, 0.0, 1e4))
+
+        total_grad = jax.tree.map(
+            lambda a, b: a + d_weight * disc_factor * b, g1[0], g2
+        )
+        grads = (total_grad, g1[1])
+
+        if train:
+            upd, opt_g = opt_gen.update(grads, opt_g, (gen_params, logvar))
+            gen_params, logvar = optax.apply_updates((gen_params, logvar), upd)
+
+        # ---- recompute recon (post-update metrics use pre-update recon; the
+        # reference logs pre-update values, so reuse the detached recon) ----
+        recon, rec_loss, _, _ = recon_and_losses(
+            jax.lax.stop_gradient(gen_params), gen_aux, logvar, img, train
+        )
+        recon = jax.lax.stop_gradient(recon)
+
+        # ---- discriminator ----
+        d_params, d_aux = split_vars(disc_vars)
+
+        def d_loss_fn(dp):
+            logits_real = disc.apply(join_vars(dp, d_aux), img)
+            logits_fake = disc.apply(join_vars(dp, d_aux), recon)
+            loss_real = jnp.mean(jax.nn.relu(1.0 - logits_real))
+            loss_fake = jnp.mean(jax.nn.relu(1.0 + logits_fake))
+            d_loss = disc_factor * 0.5 * (loss_real + loss_fake)
+            return d_loss, (jnp.mean(logits_real), jnp.mean(logits_fake))
+
+        (d_loss, (lr_m, lf_m)), g_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_params
+        )
+        if train:
+            do_update = (d_loss > 0).astype(jnp.float32)
+            upd, new_opt_d = opt_disc.update(g_d, opt_d, d_params)
+            d_params_new = optax.apply_updates(d_params, upd)
+            d_params = jax.tree.map(
+                lambda n, o: do_update * n + (1 - do_update) * o, d_params_new, d_params
+            )
+            opt_d = jax.tree.map(
+                lambda n, o: jnp.where(do_update.astype(bool), n, o), new_opt_d, opt_d
+            )
+
+        # ---- refresh mutable collections (spectral u, BN stats) ----
+        if train:
+            _, gen_mut = network.apply(
+                join_vars(gen_params, gen_aux), img,
+                train=True, mutable=["spectral", "batch_stats"],
+            )
+            gen_aux = {**gen_aux, **gen_mut}
+            _, d_mut = disc.apply(join_vars(d_params, d_aux), recon, mutable=["spectral"])
+            d_aux = {**d_aux, **d_mut}
+
+        loss_total = nll_loss + w_kl * kl_loss + d_weight * disc_factor * g_loss
+        metrics = {
+            "Loss": loss_total,
+            "Loss_recon": jnp.mean(rec_loss),
+            "Loss_nll": nll_loss,
+            "Logvar": logvar,
+            "L_KL": kl_loss,
+            "Loss_G": g_loss,
+            "L_disc": d_loss,
+            "Logits_real": lr_m,
+            "Logits_fake": lf_m,
+            "Disc_weight": d_weight,
+            "Disc_factor": disc_factor,
+        }
+        return (
+            join_vars(gen_params, gen_aux), logvar, join_vars(d_params, d_aux),
+            opt_g, opt_d, metrics, recon,
+        )
+
+    train_step = jax.jit(
+        lambda gv, lv, dv, og, od, img, ep: step(gv, lv, dv, og, od, img, ep, True),
+        donate_argnums=(0, 1, 2, 3, 4),
+    )
+    eval_step = jax.jit(
+        lambda gv, lv, dv, og, od, img, ep: step(gv, lv, dv, og, od, img, ep, False)
+    )
+    return train_step, eval_step
+
+
+def main(opt, max_steps: int | None = None):
+    root_key = set_seed(42)
+    img_size = opt.Data["img_size"]
+
+    network = BigAE(config=dict(opt.AE))
+    gen_vars = jax.jit(network.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, img_size, img_size, 3))
+    )
+    disc = NLayerDiscriminator.from_config(opt.Discriminator_Patch)
+    disc_vars = jax.jit(disc.init)(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, img_size, img_size, 3))
+    )
+    lpips = LPIPS()
+    lpips_vars = jax.jit(lpips.init)(
+        {"params": jax.random.PRNGKey(2)},
+        jnp.zeros((1, img_size, img_size, 3)), jnp.zeros((1, img_size, img_size, 3)),
+    )
+    logvar = jnp.zeros(())
+
+    tr = opt.Training
+    opt_gen = adam_torch(tr["lr"], weight_decay=tr["weight_decay"])
+    opt_disc = adam_torch(tr["lr"], weight_decay=tr["weight_decay"])
+
+    train_step, eval_step = make_ae_step(
+        network, disc, lpips, lpips_vars, opt_gen, opt_disc,
+        float(tr["w_kl"]), int(tr["pretrain"]),
+    )
+
+    # ---- data ----------------------------------------------------------
+    DatasetCls = get_loader(opt.Data["dataset"])
+    train_ds = DatasetCls(opt, mode="train")
+    eval_ds = DatasetCls(opt, mode="eval")
+    train_loader = Loader(train_ds, tr["bs"], workers=tr["workers"], seed=42)
+    eval_loader = Loader(eval_ds, tr["bs"], workers=tr["workers"], drop_last=False, seed=43)
+    aug_p, rcrop, _ = augment_params(opt, "train")
+    aug_train = build_augment(img_size, aug_p, rcrop, True)
+    aug_eval = build_augment(img_size, aug_p, rcrop, False)
+
+    # ---- logging -------------------------------------------------------
+    now = datetime.now()
+    run_name = "Stage2_AE_{}_Date-{}-{}-{}-{}-{}-{}_{}".format(
+        opt.Data["dataset"], now.year, now.month, now.day, now.hour, now.minute,
+        now.second, tr["savename"],
+    )
+    save_path = os.path.join(tr["save_path"] or ".", run_name)
+    os.makedirs(os.path.join(save_path, "images"), exist_ok=True)
+    opt.Training["save_path"] = save_path
+    cfg.save(opt, os.path.join(save_path, "config_stage2_AE.yaml"))
+    wandb_sink = WandbSink()
+    wandb_sink.init(opt.get("Logging"), opt, save_path, tr["savename"])
+    logger_train, logger_eval = Logging(LOG_KEYS), Logging(LOG_KEYS)
+    csv_train = CSVlogger(
+        os.path.join(save_path, "log_per_epoch_train.csv"), ["Epoch", "Time", "LR"] + LOG_KEYS
+    )
+    csv_eval = CSVlogger(
+        os.path.join(save_path, "log_per_epoch_test.csv"), ["Epoch", "Time", "LR"] + LOG_KEYS
+    )
+
+    # ---- mesh ----------------------------------------------------------
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    opt_g_state = opt_gen.init((gen_vars["params"], logvar))
+    opt_d_state = opt_disc.init(disc_vars["params"])
+    gen_vars, disc_vars, logvar, opt_g_state, opt_d_state = (
+        replicate(mesh, x)
+        for x in (gen_vars, disc_vars, logvar, opt_g_state, opt_d_state)
+    )
+
+    scheds = [
+        LRController(tr["lr"], "plateau", factor=0.5, patience=1) for _ in range(2)
+    ]
+    best_val = 99.0
+    actnorm_done = False
+    global_step = 0
+    last_recon = None
+
+    def prep(batch, train, key):
+        seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
+        img = seq[:, 0] if seq.ndim == 5 else seq  # sequence_length==1 → frame
+        b, _ = pad_to_multiple({"img": img}, n_dev)
+        return shard_batch(mesh, b)["img"]
+
+    for epoch in range(tr["n_epochs"]):
+        t0 = time.time()
+        lr = scheds[0].lr
+
+        logger_train.reset()
+        loss_recon = float("nan")
+        for i, batch in enumerate(train_loader.epoch_iter(epoch)):
+            key = jax.random.fold_in(root_key, global_step)
+            img = prep(batch, True, key)
+
+            if not actnorm_done:
+                _, upd = jax.jit(
+                    lambda v, x: disc.apply(v, x, train=True, mutable=["actnorm_stats"])
+                )(disc_vars, img)
+                new_params = merge_actnorm_init(disc_vars["params"], upd["actnorm_stats"])
+                disc_vars = dict(disc_vars)
+                disc_vars["params"] = new_params
+                opt_d_state = replicate(mesh, opt_disc.init(new_params))
+                set_lr(opt_d_state, scheds[1].lr)
+                actnorm_done = True
+
+            gen_vars, logvar, disc_vars, opt_g_state, opt_d_state, metrics, recon = (
+                train_step(
+                    gen_vars, logvar, disc_vars, opt_g_state, opt_d_state,
+                    img, jnp.asarray(epoch),
+                )
+            )
+            metrics = {k: float(v) for k, v in metrics.items()}
+            loss_recon = metrics["Loss_recon"]
+            logger_train.append(metrics)
+            wandb_sink.log({f"train_{k}": v for k, v in metrics.items()})
+            last_recon = (np.asarray(img), np.asarray(recon))
+            global_step += 1
+            if max_steps and global_step >= max_steps:
+                break
+
+        # plateau schedulers stepped on the last train recon loss
+        set_lr(opt_g_state, scheds[0].step(loss_recon))
+        set_lr(opt_d_state, scheds[1].step(loss_recon))
+
+        if last_recon is not None:
+            _save_recon_grid(last_recon, save_path, epoch, "train")
+
+        logger_eval.reset()
+        for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
+            key = jax.random.fold_in(root_key, 30_000_000 + epoch * 10_000 + i)
+            img = prep(batch, False, key)
+            *_, metrics, recon = eval_step(
+                gen_vars, logvar, disc_vars, opt_g_state, opt_d_state,
+                img, jnp.asarray(epoch),
+            )
+            logger_eval.append({k: float(v) for k, v in metrics.items()})
+            if max_steps and i >= 1:
+                break
+
+        if logger_eval.log()[1] < best_val:
+            best_val = logger_eval.log()[1]
+            enc_vars = _extract_encoder(jax.device_get(gen_vars))
+            ckpt_io.save(
+                os.path.join(save_path, "Encoder_stage2.msgpack"),
+                {"state_dict": enc_vars},
+            )
+
+        dt = time.time() - t0
+        csv_train.write([epoch, dt, lr, *logger_train.log()])
+        csv_eval.write([epoch, dt, lr, *logger_eval.log()])
+
+        if max_steps and global_step >= max_steps:
+            break
+
+    return {
+        "save_path": save_path,
+        "best_val": best_val,
+        "train_loss": logger_train.log(),
+    }
+
+
+def _extract_encoder(gen_vars) -> dict:
+    """Pull the encoder sub-tree out of BigAE variables, in the standalone
+    ``ResnetEncoder`` layout the cINN embedder splice expects."""
+    out = {}
+    for col, tree in gen_vars.items():
+        if isinstance(tree, dict) and "encoder" in tree:
+            out[col] = tree["encoder"]
+    return out
+
+
+def _save_recon_grid(pair, save_path: str, epoch: int, mode: str) -> None:
+    import imageio
+
+    img, recon = pair
+    grid = np.concatenate([img, recon], axis=1)  # stack input above recon
+    grid = np.clip((np.concatenate(list(grid), axis=1) + 1) / 2, 0, 1)
+    imageio.imwrite(
+        os.path.join(save_path, "images", f"{epoch}_{mode}_recon.jpg"),
+        (grid * 255).astype(np.uint8),
+    )

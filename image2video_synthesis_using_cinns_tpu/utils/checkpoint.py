@@ -29,11 +29,20 @@ def _to_numpy(tree: Any) -> Any:
 
 def save(path: str, payload: dict) -> None:
     payload = dict(payload)
-    data = flax.serialization.msgpack_serialize(_to_numpy(payload))
+    # to_state_dict turns optax/NamedTuple states into plain dicts msgpack
+    # can carry; restore_into() rebuilds the typed structure from a target.
+    state = flax.serialization.to_state_dict(_to_numpy(payload))
+    data = flax.serialization.msgpack_serialize(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def restore_into(target: Any, state_dict: Any) -> Any:
+    """Rebuild a typed pytree (e.g. an optax state) from a loaded plain-dict
+    checkpoint payload."""
+    return flax.serialization.from_state_dict(target, state_dict)
 
 
 def load(path: str) -> dict:

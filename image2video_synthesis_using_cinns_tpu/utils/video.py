@@ -29,7 +29,12 @@ def convert_seq2gif(sequence) -> np.ndarray:
 def save_video(path: str, video: np.ndarray, fps: int = 3, loops: int = 6) -> None:
     import imageio
 
-    writer = imageio.get_writer(path, fps=fps)
+    try:
+        writer = imageio.get_writer(path, fps=fps)
+    except (ValueError, ImportError):
+        # mp4 needs an ffmpeg imageio backend, which may be absent —
+        # the GIF is the primary artifact.
+        return
     long_video = np.tile(video, (loops, 1, 1, 1))
     for im in long_video:
         writer.append_data(im.astype(np.uint8))

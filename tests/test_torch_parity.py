@@ -1,0 +1,333 @@
+"""Golden parity tests: reference torch modules vs our JAX ports.
+
+These are the strongest correctness tests in the suite: the *actual reference
+implementation* (mounted read-only at /root/reference) is instantiated on
+torch-CPU with random weights, its state_dict is converted through
+``utils/convert.py``, and both models run on identical inputs. Activations
+must match to float32 tolerance — validating architecture, layout conversion
+and converter in one shot.
+
+The reference hard-codes ``.cuda()`` in a few forwards; a monkeypatch maps
+those to identity on the CPU-only torch build.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+# CPU-only torch: neutralise .cuda() calls inside reference forwards
+torch.Tensor.cuda = lambda self, *a, **k: self
+torch.nn.Module.cuda = lambda self, *a, **k: self
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from image2video_synthesis_using_cinns_tpu.utils import convert as C  # noqa: E402
+
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def to_np(t):
+    return t.detach().cpu().numpy()
+
+
+def sd_np(module):
+    return {k: to_np(v) for k, v in module.state_dict().items()}
+
+
+def nchw(x):  # channels-last → torch
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+# --------------------------------------------------------------------------
+def test_stage1_generator_parity():
+    from stage1_VAE.modules import decoder as ref_dec
+
+    from image2video_synthesis_using_cinns_tpu.models.stage1.decoder import Generator
+
+    dic = {"channel_factor": 16, "z_dim": 16, "upsample_s": [1, 1],
+           "upsample_t": [1, 1], "spectral_norm": True}
+    tmodel = ref_dec.Generator(dic).eval()
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    z = rng.standard_normal((2, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = to_np(tmodel(torch.from_numpy(img), torch.from_numpy(z)))
+
+    jmodel = Generator.from_config(dic)
+    template = jax.jit(jmodel.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(nhwc(img)), jnp.asarray(z)
+    )
+    converted = C.convert_stage1_generator(sd_np(tmodel))
+    variables, _ = C.merge_into_template(template, converted)
+    out = jax.jit(jmodel.apply)(variables, jnp.asarray(nhwc(img)), jnp.asarray(z))
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))  # → (B,T,C,H,W)
+    np.testing.assert_allclose(out, ref_out, **TOL)
+
+
+def _encoder_cfg():
+    # channels[0] must be 64: the reference hard-codes ``inplanes = 64``
+    # (resnet3D.py:141), so its first stage assumes a 64-channel stem.
+    return {"res_type_encoder": "resnet18", "deterministic": False,
+            "use_max_pool": False, "z_dim": 16,
+            "channels": [64, 32, 32, 32, 32],
+            "stride_t": [1, 2, 2, 2], "stride_s": [1, 2, 2, 1]}
+
+
+def test_stage1_encoder_mu_logvar_parity():
+    from stage1_VAE.modules.resnet3D import Encoder as RefEncoder
+
+    from image2video_synthesis_using_cinns_tpu.models.stage1.resnet3d import Encoder
+
+    cfg = _encoder_cfg()
+    tmodel = RefEncoder(dic=cfg).eval()
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (2, 8, 3, 32, 32)).astype(np.float32)  # (B,T,C,H,W)
+    with torch.no_grad():
+        # reference transposes (B,T,C,..) → (B,C,T,..) itself (line 209-210)
+        _, ref_mu, ref_logvar = tmodel(torch.from_numpy(x))
+
+    jmodel = Encoder.from_config(cfg)
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))
+    template = jax.jit(jmodel.init)(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(x_cl),
+    )
+    converted = C.convert_stage1_encoder(sd_np(tmodel))
+    variables, _ = C.merge_into_template(template, converted)
+    _, mu, logvar = jax.jit(
+        lambda v, x: jmodel.apply(v, x, rngs={"sample": jax.random.PRNGKey(2)})
+    )(variables, jnp.asarray(x_cl))
+    np.testing.assert_allclose(np.asarray(mu), to_np(ref_mu), **TOL)
+    np.testing.assert_allclose(np.asarray(logvar), to_np(ref_logvar), **TOL)
+
+
+def test_stage1_discriminator_parity():
+    from stage1_VAE.modules.resnet3D import Discriminator as RefDisc
+
+    from image2video_synthesis_using_cinns_tpu.models.stage1.resnet3d import Discriminator
+
+    cfg = {"res_type_encoder": "resnet18", "deterministic": False,
+           "use_max_pool": True, "channels": [64, 16, 32, 32, 32],
+           "stride_t": [2, 2, 2, 2], "stride_s": [1, 1, 2, 1],
+           "spectral_norm": True}
+    tmodel = RefDisc(cfg).eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, (2, 8, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = tmodel(torch.from_numpy(x))
+
+    jmodel = Discriminator.from_config(cfg)
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))
+    template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl))
+    converted = C.convert_stage1_discriminator(sd_np(tmodel))
+    variables, _ = C.merge_into_template(template, converted)
+    logits, feats = jax.jit(jmodel.apply)(variables, jnp.asarray(x_cl))
+    np.testing.assert_allclose(np.asarray(logits), to_np(ref_logits), **TOL)
+    # feature maps for the matching loss: compare the last stage
+    ref_last = to_np(ref_feats[-1])  # (B,C,T,H,W)
+    ours_last = np.transpose(np.asarray(feats[-1]), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(ours_last, ref_last, **TOL)
+
+
+def test_patch_discriminator_parity():
+    from stage1_VAE.modules.patch_disc import NLayerDiscriminator as RefPD
+
+    from image2video_synthesis_using_cinns_tpu.models.stage1.patch_disc import (
+        NLayerDiscriminator,
+    )
+
+    cfg = {"in_channels": 3, "ndf": 16, "n_layers": 3, "use_actnorm": True,
+           "spectral_norm": True}
+    tmodel = RefPD(cfg).eval()
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = to_np(tmodel(torch.from_numpy(x)))
+
+    jmodel = NLayerDiscriminator.from_config(cfg)
+    template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(nhwc(x)))
+    converted = C.convert_patch_discriminator(sd_np(tmodel))
+    variables, _ = C.merge_into_template(template, converted)
+    out = jax.jit(jmodel.apply)(variables, jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(nchw(np.asarray(out)), ref_out, **TOL)
+
+
+@pytest.mark.parametrize("control", [False, True])
+def test_conditional_flow_parity(control):
+    from stage2_cINN.modules.flow_blocks import ConditionalFlow as RefFlow
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.flow import (
+        ConditionalFlow,
+    )
+
+    CC, E, H, NF = 16, 12, 32, 4
+    tmodel = RefFlow(in_channels=CC, embedding_dim=E, hidden_dim=H,
+                     hidden_depth=2, n_flows=NF, conditioning_option="none",
+                     control=control).eval()
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((8, CC)).astype(np.float32)
+    emb = rng.standard_normal((8, E)).astype(np.float32)
+
+    with torch.no_grad():
+        # first call initialises the reference's lazy ActNorms (ungated)
+        tmodel(torch.from_numpy(x), torch.from_numpy(emb))
+        ref_out, ref_logdet = tmodel(torch.from_numpy(x), torch.from_numpy(emb))
+        ref_rev = tmodel(torch.from_numpy(x), torch.from_numpy(emb), reverse=True)
+
+    jmodel = ConditionalFlow(in_channels=CC, embedding_dim=E, hidden_dim=H,
+                             hidden_depth=2, n_flows=NF, control=control)
+    template = jax.jit(jmodel.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x), jnp.asarray(emb)
+    )
+    converted = C.convert_conditional_flow(
+        sd_np(tmodel), n_flows=NF, hidden_depth=2, in_channels=CC,
+        embedding_dim=E, control=control,
+    )
+    variables, _ = C.merge_into_template(template, converted)
+    out, logdet = jax.jit(jmodel.apply)(variables, jnp.asarray(x), jnp.asarray(emb))
+    rev = jax.jit(lambda v, a, b: jmodel.apply(v, a, b, reverse=True))(
+        variables, jnp.asarray(x), jnp.asarray(emb)
+    )
+    np.testing.assert_allclose(np.asarray(out), to_np(ref_out)[:, :, 0, 0], **TOL)
+    np.testing.assert_allclose(np.asarray(logdet), to_np(ref_logdet), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rev), to_np(ref_rev)[:, :, 0, 0], **TOL)
+
+
+def _has_torchvision():
+    try:
+        import torchvision  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_torchvision(), reason="torchvision not installed")
+def test_resnet_encoder_parity():
+    from stage2_cINN.AE.modules.AE import ResnetEncoder as RefEnc
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.resnet2d import (
+        ResnetEncoder,
+    )
+
+    cfg = {"z_dim": 32, "deterministic": False, "in_size": 64,
+           "encoder_type": "resnet18", "norm": "in"}
+    tmodel = RefEnc(cfg).eval()
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = to_np(tmodel(torch.from_numpy(x)))  # (B, 2z, 1, 1)
+
+    jmodel = ResnetEncoder.from_config(cfg)
+    template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(nhwc(x)))
+    converted = C.convert_resnet_encoder(sd_np(tmodel), "resnet18", "in")
+    variables, _ = C.merge_into_template(template, converted)
+    out = jax.jit(jmodel.apply)(variables, jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(np.asarray(out), ref_out.reshape(2, -1), **TOL)
+
+
+def test_biggan_generator_parity():
+    from stage2_cINN.AE.modules.generator import load_variable_latsize_generator
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.biggan import (
+        VariableDimGenerator,
+    )
+
+    tmodel = load_variable_latsize_generator(64, 64, pretrained=False,
+                                             use_actnorm=False, n_class=1000)
+    # shrink for CPU: debug-chn equivalent is separate; use full chn=96 only
+    # for a tiny batch — costly, so run with torch no_grad + one sample
+    tmodel = tmodel.eval()
+
+    rng = np.random.default_rng(6)
+    z = rng.standard_normal((1, 64)).astype(np.float32)
+    emb = rng.standard_normal((1, 1000)).astype(np.float32)
+    with torch.no_grad():
+        tmodel(torch.from_numpy(z), torch.from_numpy(emb))  # warm up u,v
+        ref_out = to_np(tmodel(torch.from_numpy(z), torch.from_numpy(emb)))
+
+    jmodel = VariableDimGenerator(size=64, z_dim=64, chn=96)
+    template = jax.jit(jmodel.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(z), jnp.asarray(emb)
+    )
+    converted = C.convert_biggan_generator(sd_np(tmodel), size=64)
+    variables, _ = C.merge_into_template(template, converted)
+    out = jax.jit(jmodel.apply)(variables, jnp.asarray(z), jnp.asarray(emb))
+    np.testing.assert_allclose(nchw(np.asarray(out)), ref_out, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(not _has_torchvision(), reason="torchvision not installed")
+def test_vgg16_features_parity():
+    from stage2_cINN.AE.modules.vgg16 import vgg16 as ref_vgg16
+
+    from image2video_synthesis_using_cinns_tpu.models.backbones.vgg16 import (
+        VGG16Features,
+    )
+
+    tmodel = ref_vgg16(pretrained=False).eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = tmodel(torch.from_numpy(x))
+
+    jmodel = VGG16Features()
+    template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(nhwc(x)))
+    converted = C.convert_vgg16(sd_np(tmodel), prefix="")
+    # reference vgg16 stores slices; keys are slice{k}.{idx}.weight
+    sd = sd_np(tmodel)
+    conv_params = {}
+    conv_i = 0
+    for s, idxs in [(1, range(0, 4)), (2, range(4, 9)), (3, range(9, 16)),
+                    (4, range(16, 23)), (5, range(23, 30))]:
+        for i in idxs:
+            key = f"slice{s}.{i}.weight"
+            if key in sd:
+                conv_params[f"conv{conv_i}"] = {
+                    "kernel": C.t_conv(sd[key]),
+                    "bias": sd[key.replace("weight", "bias")],
+                }
+                conv_i += 1
+    variables, _ = C.merge_into_template(template, {"params": conv_params})
+    outs = jax.jit(jmodel.apply)(variables, jnp.asarray(nhwc(x)))
+    for ours, theirs in zip(outs, ref_outs):
+        np.testing.assert_allclose(nchw(np.asarray(ours)), to_np(theirs), **TOL)
+
+
+def test_i3d_kinetics_parity():
+    sys.modules.pop("metrics", None)
+    from metrics.PyTorch_FVD.I3D import I3D as RefI3D
+
+    from image2video_synthesis_using_cinns_tpu.models.backbones.i3d import I3D
+
+    tmodel = RefI3D(400, "rgb").eval()
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 1, (1, 3, 16, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        _, ref_logits = tmodel(torch.from_numpy(x))
+
+    jmodel = I3D(num_classes=400, head="logits")
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl))
+    converted = C.convert_i3d_kinetics(sd_np(tmodel))
+    variables, _ = C.merge_into_template(template, converted)
+    _, logits = jax.jit(jmodel.apply)(variables, jnp.asarray(x_cl))
+    np.testing.assert_allclose(np.asarray(logits), to_np(ref_logits), rtol=1e-3, atol=1e-3)

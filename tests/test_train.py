@@ -1,0 +1,69 @@
+"""Training smoke tests: a few real optimisation steps on synthetic data.
+
+These exercise the full jitted train steps (stage-1 three-optimizer
+adversarial step; stage-2 flow NLL step with frozen nets) including data
+loading, on-device augmentation, actnorm data-dependent init, checkpointing
+and CSV logging. FVD evaluation is skipped (no I3D weights in CI).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from image2video_synthesis_using_cinns_tpu import config as cfg
+from image2video_synthesis_using_cinns_tpu.testing import (
+    PRESETS,
+    make_bair_data_dir,
+    make_model_dir,
+    stage1_config,
+)
+
+P = PRESETS["tiny"]
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bair_data")
+    return make_bair_data_dir(str(root) + "/", img=P["img_size"])
+
+
+def test_stage1_training_smoke(tmp_path, data_dir):
+    from image2video_synthesis_using_cinns_tpu.train.stage1 import main
+
+    opt = stage1_config(P)
+    opt.Data["data_path"] = data_dir
+    opt.Training["bs"] = 2
+    opt.Training["bs_eval"] = 2
+    opt.Training["workers"] = 2
+    opt.Training["n_epochs"] = 1
+    opt.Training["save_path"] = str(tmp_path)
+    out = main(opt, max_steps=2, eval_fvd=False)
+
+    save_path = out["save_path"]
+    assert os.path.exists(os.path.join(save_path, "config_stage1.yaml"))
+    for n in ("GEN", "ENC", "DISC_t", "DISC_s"):
+        assert os.path.exists(os.path.join(save_path, f"latest_checkpoint_{n}.msgpack"))
+    assert os.path.exists(os.path.join(save_path, "best_PFVD_GEN.msgpack"))
+    # losses must be finite
+    train_losses = out["state"] is not None
+    assert train_losses
+
+
+def test_stage2_training_smoke(tmp_path, data_dir):
+    from image2video_synthesis_using_cinns_tpu.train.stage2 import main
+
+    root = str(tmp_path / "ckpts")
+    stage2_dir = make_model_dir(root, preset="tiny")
+    opt = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+    opt.Data["data_path"] = data_dir
+    opt.Training["bs"] = 2
+    opt.Training["bs_eval"] = 2
+    opt.Training["workers"] = 2
+    opt.Training["n_epochs"] = 1
+    opt.Training["save_path"] = str(tmp_path / "out")
+    out = main(opt, max_steps=2, eval_fvd=False)
+
+    assert os.path.exists(os.path.join(out["save_path"], "config_stage2.yaml"))
+    assert os.path.exists(os.path.join(out["save_path"], "cINN.msgpack"))
+    assert np.isfinite(out["train_loss"]).all()
