@@ -179,6 +179,36 @@ class VariableDimGenerator(nn.Module):
         # 120 + 28 = 148 (128px) = per-block chunk + class embedding (128).
         return (10 if self.size == 64 else 20) + 128
 
+    def setup(self):
+        # setup-style (not compact) so ``features`` / ``colorize`` are
+        # callable as separate apply methods — the AE loss needs the
+        # pre-colorize features for the adaptive-d_weight gradients.
+        self.linear = SNDense(128, use_bias=False, name="linear")
+        self.G_linear = SNDense(
+            4 * 4 * 16 * self.chn, use_spectral=True, sn_eps=SN_EPS,
+            sn_mode="biggan", name="G_linear",
+        )
+        blocks = []
+        for i, (cin, cout) in enumerate(self._block_channels):
+            blocks.append(
+                GBlock(cin, cout, self._cond_dim, use_actnorm=self.use_actnorm,
+                       name=f"GBlock_{i}")
+            )
+        self.gblocks = blocks
+        self.sa_id = 4
+        if self.sa_id < len(blocks):
+            self.attention = SelfAttention(
+                self._block_channels[self.sa_id][0], name="attention"
+            )
+        if self.use_actnorm:
+            self.final_norm = ActNormImage(name="ScaledCrossReplicaBN")
+        else:
+            self.final_norm = BatchNorm(eps=1e-4, name="ScaledCrossReplicaBN")
+        self.colorize_conv = SNConv(
+            3, (3, 3), padding=(1, 1), use_spectral=True, sn_eps=SN_EPS,
+            sn_mode="biggan", name="colorize",
+        )
+
     def features(self, z: jax.Array, class_emb_input: jax.Array, train: bool = False) -> jax.Array:
         first, per = self._split
         assert first > 0, f"z_dim {self.z_dim} too small for size {self.size}"
@@ -189,42 +219,26 @@ class VariableDimGenerator(nn.Module):
             codes.append(z[:, off : off + s])
             off += s
 
-        class_emb = SNDense(128, use_bias=False, name="linear")(class_emb_input)
-
-        out = SNDense(
-            4 * 4 * 16 * self.chn, use_spectral=True, sn_eps=SN_EPS, sn_mode="biggan", name="G_linear"
-        )(codes[0])
+        class_emb = self.linear(class_emb_input)
         # torch views (B, 4, 4, 16chn) then permutes to NCHW; channels-last
         # keeps the same element order directly.
-        out = out.reshape(-1, 4, 4, 16 * self.chn)
+        out = self.G_linear(codes[0]).reshape(-1, 4, 4, 16 * self.chn)
 
-        blocks = self._block_channels
-        sa_id = 4
-        for i, (cin, cout) in enumerate(blocks):
-            if i == sa_id:
-                out = SelfAttention(cin, name="attention")(out)
+        for i, gblock in enumerate(self.gblocks):
+            if i == self.sa_id:
+                out = self.attention(out)
             condition = jnp.concatenate([codes[i + 1], class_emb], axis=1)
-            out = GBlock(
-                cin, cout, self._cond_dim, use_actnorm=self.use_actnorm,
-                name=f"GBlock_{i}",
-            )(out, condition, train)
+            out = gblock(out, condition, train)
 
         if self.use_actnorm:
-            out = ActNormImage(name="ScaledCrossReplicaBN")(out, train=train)
+            out = self.final_norm(out, train=train)
         else:
-            out = BatchNorm(eps=1e-4, name="ScaledCrossReplicaBN")(
-                out, use_running_average=not train
-            )
+            out = self.final_norm(out, use_running_average=not train)
         return nn.relu(out)
 
     def colorize(self, h: jax.Array) -> jax.Array:
-        out = SNConv(
-            3, (3, 3), padding=(1, 1), use_spectral=True, sn_eps=SN_EPS, sn_mode="biggan",
-            name="colorize",
-        )(h)
-        return jnp.tanh(out)
+        return jnp.tanh(self.colorize_conv(h))
 
-    @nn.compact
     def __call__(self, z: jax.Array, class_emb_input: jax.Array, train: bool = False) -> jax.Array:
         return self.colorize(self.features(z, class_emb_input, train))
 
