@@ -55,10 +55,28 @@ def activation_statistics(acts: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def frechet_from_activations(act1, act2, eps: float = 1e-6) -> float:
-    """Convenience wrapper mirroring ``calculate_frechet_distance`` usage."""
+    """Convenience wrapper mirroring ``calculate_frechet_distance`` usage.
+
+    Runs in float64 on the host (numpy eigendecompositions) — the activations
+    are tiny relative to the feature extraction, and float32 eigh loses ~1e-3
+    of precision the metric contract doesn't allow. The jittable fp32 device
+    path above remains available for in-training-loop logging.
+    """
     import numpy as np
 
-    with jax.experimental.enable_x64():
-        mu1, s1 = activation_statistics(np.asarray(act1))
-        mu2, s2 = activation_statistics(np.asarray(act2))
-        return float(frechet_distance(mu1, s1, mu2, s2, eps))
+    a1 = np.asarray(act1, np.float64)
+    a2 = np.asarray(act2, np.float64)
+    mu1, mu2 = a1.mean(0), a2.mean(0)
+    s1 = np.cov(a1, rowvar=False)
+    s2 = np.cov(a2, rowvar=False)
+    offset = np.eye(s1.shape[0]) * eps
+
+    def psd_sqrt(m):
+        vals, vecs = np.linalg.eigh(m)
+        return (vecs * np.sqrt(np.clip(vals, 0, None))) @ vecs.T
+
+    s = psd_sqrt(s1 + offset)
+    vals = np.linalg.eigvalsh(s @ (s2 + offset) @ s)
+    tr_covmean = np.sum(np.sqrt(np.clip(vals, 0, None)))
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * tr_covmean)

@@ -48,7 +48,11 @@ class Model:
         seed: int = 0,
         use_pallas: bool = True,
         allow_random_init: bool = False,
+        compute_dtype: str = "float32",
     ):
+        """``compute_dtype='bfloat16'`` runs the decoder in bf16 (the
+        TPU-native serving dtype, ~3-4x faster); the flow inverse stays fp32
+        for exact invertibility. Outputs are always fp32."""
         self.config = cfg.load(_join(model_path, "config_stage2.yaml"))
         opt = self.config
         path_stage1 = _join(
@@ -59,6 +63,7 @@ class Model:
         self.z_dim = self.config_stage1.Decoder["z_dim"]
         self.vid_length = vid_length
         self._rng = jax.random.PRNGKey(seed)
+        self.compute_dtype = jnp.dtype(compute_dtype)
 
         img_size = 64
         if "Data" in self.config_stage1:
@@ -145,6 +150,18 @@ class Model:
     # ------------------------------------------------------------------
     # compiled kernels (cached per input signature)
     # ------------------------------------------------------------------
+    def _decode(self, dec_vars, img, z):
+        dt = self.compute_dtype
+        if dt == jnp.float32:
+            return self.decoder.apply(dec_vars, img, z)
+        cast = jax.tree.map(
+            lambda a: a.astype(dt)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            dec_vars,
+        )
+        out = self.decoder.apply(cast, img.astype(dt), z.astype(dt))
+        return out.astype(jnp.float32)
+
     def _sample_fn(self):
         if "sample" not in self._fn_cache:
 
@@ -153,7 +170,7 @@ class Model:
                 cond = [x0_cl] if cond_extra is None else [x0_cl, cond_extra]
                 z = self.flow.apply(flow_vars, residual, cond, reverse=True)
                 z = z.reshape(x0_cl.shape[0], -1)
-                seq = self.decoder.apply(dec_vars, x0_cl, z)
+                seq = self._decode(dec_vars, x0_cl, z)
                 return seq, z
 
             self._fn_cache["sample"] = sample
@@ -162,7 +179,7 @@ class Model:
     def _decode_fn(self):
         if "decode" not in self._fn_cache:
             self._fn_cache["decode"] = jax.jit(
-                lambda dec_vars, img, z: self.decoder.apply(dec_vars, img, z)
+                lambda dec_vars, img, z: self._decode(dec_vars, img, z)
             )
         return self._fn_cache["decode"]
 

@@ -1,0 +1,65 @@
+"""Endpoint-control variant: facade with cond, stage-2 control training smoke."""
+
+import os
+
+import numpy as np
+import pytest
+
+from image2video_synthesis_using_cinns_tpu import config as cfg
+from image2video_synthesis_using_cinns_tpu.models.facade import Model
+from image2video_synthesis_using_cinns_tpu.testing import (
+    PRESETS,
+    make_bair_data_dir,
+    make_model_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def control_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ctrl")
+    return make_model_dir(str(root), preset="tiny", control=True)
+
+
+def test_control_facade_forward(control_dir):
+    p = PRESETS["tiny"]
+    model = Model(control_dir + "/", vid_length=8, seed=1)
+    assert model.flow.control
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, (2, 3, p["img_size"], p["img_size"])).astype(np.float32)
+    cond = rng.uniform(0.1, 0.9, (2, 3)).astype(np.float32)
+    vid = model(x0, cond=cond)
+    assert vid.shape == (2, 8, 3, p["img_size"], p["img_size"])
+
+    # the endpoint conditioning must influence the output
+    res = np.zeros((2, p["z_dim"]), np.float32)
+    v1 = model.forward(x0, cond=cond, residual=res)
+    v2 = model.forward(x0, cond=1.0 - cond, residual=res)
+    assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+
+def test_control_training_smoke(tmp_path, control_dir):
+    from image2video_synthesis_using_cinns_tpu.train.stage2 import main
+
+    data_dir = make_bair_data_dir(
+        str(tmp_path / "data") + "/", img=PRESETS["tiny"]["img_size"]
+    )
+    opt = cfg.load(os.path.join(control_dir, "config_stage2.yaml"))
+    opt.Data["data_path"] = data_dir
+    opt.Training["bs"] = 2
+    opt.Training["bs_eval"] = 2
+    opt.Training["workers"] = 2
+    opt.Training["n_epochs"] = 1
+    opt.Training["save_path"] = str(tmp_path / "out")
+    out = main(opt, max_steps=2, eval_fvd=False)
+    assert np.isfinite(out["train_loss"]).all()
+
+
+def test_bf16_facade(control_dir):
+    p = PRESETS["tiny"]
+    model = Model(control_dir + "/", vid_length=8, seed=1, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, (1, 3, p["img_size"], p["img_size"])).astype(np.float32)
+    cond = rng.uniform(0.1, 0.9, (1, 3)).astype(np.float32)
+    vid = np.asarray(model(x0, cond=cond))
+    assert vid.dtype == np.float32
+    assert np.isfinite(vid).all() and np.abs(vid).max() <= 1.0
