@@ -34,6 +34,7 @@ from ..models.layers import merge_actnorm_init
 from ..parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
+from ..utils.preemption import PreemptionGuard, maybe_enable_debug_nans
 from ..utils.seed import set_seed
 from ..utils.video import plot_vid
 from .optim import LRController, adam_torch, set_lr
@@ -87,6 +88,8 @@ def build_stage1(opt, rng_key):
 
 
 def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
+    maybe_enable_debug_nans()
+    guard = PreemptionGuard()
     root_key = set_seed(42)
     bundle, dec_vars, enc_vars, dt_vars, ds_vars = build_stage1(opt, root_key)
 
@@ -232,6 +235,8 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             global_step += 1
             if max_steps and global_step >= max_steps:
                 break
+            if guard.should_stop:
+                break
 
         if sequences is not None:
             plot_vid(opt, sequences, epoch, mode="train")
@@ -306,5 +311,10 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
         if max_steps and global_step >= max_steps:
             break
+        if guard.should_stop:
+            # latest checkpoints were just written atomically; exit cleanly so
+            # the next attempt resumes via Training.reload_path
+            break
 
+    guard.restore()
     return {"save_path": save_path, "best_metric": best_PFVD, "state": state}

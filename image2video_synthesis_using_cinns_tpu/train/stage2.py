@@ -44,6 +44,7 @@ from ..models.stage2.inn import SupervisedTransformer
 from ..parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
+from ..utils.preemption import PreemptionGuard, maybe_enable_debug_nans
 from ..utils.seed import set_seed
 from .optim import LRController, adam_torch, get_lr, set_lr
 
@@ -119,6 +120,8 @@ def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, 
 
 
 def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
+    maybe_enable_debug_nans()
+    guard = PreemptionGuard()
     root_key = set_seed(42)
     (config1, generator, gen_vars, encoder, enc_vars, network, net_vars) = build_models(opt)
     control = bool(opt.Training.get("control", False))
@@ -185,6 +188,30 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
     actnorm_done = False
     best_PFVD = 999.0
     global_step = 0
+    start_epoch = 0
+
+    # resume (an addition over the reference, which has no stage-2 resume —
+    # SURVEY §5.3); reload_path points at a previous run directory
+    if opt.Training.get("reload_path"):
+        latest = ckpt_io.find(os.path.join(opt.Training["reload_path"], "cINN_latest"))
+        if latest:
+            payload = ckpt_io.load(latest)
+            vars_in = payload["state_dict"]
+            flow_params = replicate(mesh, vars_in["params"]["flow"])
+            frozen = replicate(mesh, vars_in["params"]["embedder"])
+            buffers = replicate(mesh, vars_in["buffers"])
+            if "optim_state_dict" in payload:
+                opt_state = replicate(
+                    mesh,
+                    ckpt_io.restore_into(
+                        jax.device_get(opt_state), payload["optim_state_dict"]
+                    ),
+                )
+            start_epoch = int(payload.get("epoch", 0))
+            for _ in range(start_epoch):
+                lr_ctrl.step()
+            set_lr(opt_state, lr_ctrl.lr)
+            actnorm_done = True
 
     def prep_batch(batch, train: bool, key):
         seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
@@ -193,7 +220,7 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
         b, true_b = pad_to_multiple(b, n_dev)
         return shard_batch(mesh, b), true_b
 
-    for epoch in range(opt.Training["n_epochs"]):
+    for epoch in range(start_epoch, opt.Training["n_epochs"]):
         epoch_time = time.time()
         lr = get_lr(opt_state) if hasattr(opt_state, "hyperparams") else lr_ctrl.lr
 
@@ -233,6 +260,8 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             wandb_sink.log({f"train_{k}": v for k, v in aux.items()})
             global_step += 1
             if max_steps and global_step >= max_steps:
+                break
+            if guard.should_stop:
                 break
 
         # ---------------- eval ----------------
@@ -275,6 +304,22 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             )
             best_PFVD = metric
 
+        # crash/preemption-resume checkpoint (atomic write)
+        ckpt_io.save(
+            os.path.join(save_path, "cINN_latest.msgpack"),
+            {
+                "epoch": epoch + 1,
+                "state_dict": {
+                    "params": {
+                        "flow": jax.device_get(flow_params),
+                        "embedder": jax.device_get(frozen),
+                    },
+                    "buffers": jax.device_get(buffers),
+                },
+                "optim_state_dict": jax.device_get(opt_state),
+            },
+        )
+
         epoch_dt = time.time() - epoch_time
         full_log_train.write([epoch, epoch_dt, lr, *loss_track_train.log(), PFVD])
         full_log_eval.write([epoch, epoch_dt, lr, *loss_track_test.log(), PFVD])
@@ -284,7 +329,10 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
         if max_steps and global_step >= max_steps:
             break
+        if guard.should_stop:
+            break
 
+    guard.restore()
     return {
         "save_path": save_path,
         "best_metric": best_PFVD,

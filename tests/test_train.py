@@ -67,3 +67,32 @@ def test_stage2_training_smoke(tmp_path, data_dir):
     assert os.path.exists(os.path.join(out["save_path"], "config_stage2.yaml"))
     assert os.path.exists(os.path.join(out["save_path"], "cINN.msgpack"))
     assert np.isfinite(out["train_loss"]).all()
+
+
+def test_stage2_resume(tmp_path, data_dir):
+    """Stage-2 crash-resume (cINN_latest checkpoint) — an addition over the
+    reference, which cannot resume stage-2 training (SURVEY §5.3)."""
+    from image2video_synthesis_using_cinns_tpu.train.stage2 import main
+
+    root = str(tmp_path / "ckpts")
+    stage2_dir = make_model_dir(root, preset="tiny")
+    opt = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+    opt.Data["data_path"] = data_dir
+    opt.Training["bs"] = 2
+    opt.Training["bs_eval"] = 2
+    opt.Training["workers"] = 2
+    opt.Training["n_epochs"] = 1
+    opt.Training["save_path"] = str(tmp_path / "out")
+    first = main(opt, max_steps=1, eval_fvd=False)
+    assert os.path.exists(os.path.join(first["save_path"], "cINN_latest.msgpack"))
+
+    opt2 = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+    opt2.Data["data_path"] = data_dir
+    opt2.Training["bs"] = 2
+    opt2.Training["bs_eval"] = 2
+    opt2.Training["workers"] = 2
+    opt2.Training["n_epochs"] = 2
+    opt2.Training["save_path"] = str(tmp_path / "out2")
+    opt2.Training["reload_path"] = first["save_path"]
+    second = main(opt2, max_steps=1, eval_fvd=False)
+    assert np.isfinite(second["train_loss"]).all()
