@@ -68,5 +68,24 @@ def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
         return g, seq[:, 1:]
 
     gen, orig = _to_host_batches(run, loader, aug, max_batches=max_batches)
+
+    # dump a few random sampled clips next to ground truth (reference
+    # utils/auxiliaries.py:105-108 logs 10 random samples per epoch)
+    try:
+        from ..utils.video import plot_vid
+
+        sel = np.random.randint(0, gen.shape[0], min(10, gen.shape[0]))
+        plot_vid(
+            opt,
+            [
+                np.transpose(gen[sel], (0, 1, 4, 2, 3)),
+                np.transpose(orig[sel], (0, 1, 4, 2, 3)),
+            ],
+            epoch,
+            mode="eval",
+        )
+    except Exception:
+        pass
+
     bs = batch_size if mode == "FVD" else 40
     return float(fvd_mod.calculate_FVD(model, gen, orig, bs))

@@ -164,3 +164,38 @@ def test_augment_random_crop_shape():
     raw = np.random.default_rng(0).integers(0, 255, (2, 3, 40, 40, 3), dtype=np.uint8)
     out = np.asarray(aug(jnp.asarray(raw), jax.random.PRNGKey(0)))
     assert out.shape == (2, 3, 16, 16, 3)
+
+
+def test_iper_indexer_oversampling(tmp_path):
+    import image2video_synthesis_using_cinns_tpu.data.datasets as D
+
+    root = tmp_path / "iper"
+    # video names end in a digit that drives oversampling (reference
+    # dataloader_iPER.py:29-32: repeats = iter_mode x int(vid[-1]))
+    for vid in ("001_1_1", "001_1_2"):
+        d = root / vid
+        d.mkdir(parents=True)
+        for k in range(10):
+            Image.new("RGB", (16, 16), (0, 0, k)).save(d / f"frame_{k}.png")
+    split_dir = tmp_path / "splits" / "iPER"
+    split_dir.mkdir(parents=True)
+    (split_dir / "train.txt").write_text("001/1/1 001/1/2")
+    (split_dir / "test.txt").write_text("001/1/1")
+    old = D._SPLIT_DIR
+    D._SPLIT_DIR = str(tmp_path / "splits")
+    try:
+        opt = cfg.Config({"Data": {
+            "data_path": str(root) + "/", "sequence_length": 4, "iter_train": 2,
+        }})
+        ds = D.IperDataset(opt, mode="train")
+        # 2*(1) + 2*(2) = 6 samples
+        assert len(ds) == 6
+        item = ds.sample(5, np.random.default_rng(0))
+        assert os.path.exists(item["paths"][0])
+
+        ev = D.IperEvaluation(seq_length=4, img_size=16, path=str(root) + "/")
+        assert len(ev) == 1000  # fixed eval length (reference line 79)
+        item = ev.sample(123, np.random.default_rng(1))
+        assert os.path.exists(item["paths"][-1])
+    finally:
+        D._SPLIT_DIR = old
