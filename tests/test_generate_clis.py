@@ -1,0 +1,65 @@
+"""generate_transfer / visualize_endpoint CLIs driven in-process on tiny
+fixtures (synthetic assets + synthetic BAIR data), CPU."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image2video_synthesis_using_cinns_tpu.testing import (
+    PRESETS,
+    make_bair_data_dir,
+    make_model_dir,
+)
+
+
+def _write_frames(d, n, img):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for k in range(n):
+        arr = rng.integers(0, 255, (img, img, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, f"{k:03d}.png"))
+
+
+def test_generate_transfer_cli(tmp_path, monkeypatch):
+    import generate_transfer as cli
+
+    p = PRESETS["tiny"]
+    ckpt = make_model_dir(str(tmp_path / "ckpt"), preset="tiny")
+    # CLI reads ./assets/GT_samples/landscape/transfer/<vid>/
+    monkeypatch.chdir(tmp_path)
+    for vid in ("vid0", "vid1"):
+        _write_frames(
+            str(tmp_path / "assets" / "GT_samples" / "landscape" / "transfer" / vid),
+            p["seq_length"], p["img_size"],
+        )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["generate_transfer.py", "-gpu", "0", "-dataset", "landscape",
+         "-ckpt_path", ckpt + "/", "-seq_length", str(p["seq_length"])],
+    )
+    cli.main()
+    out = tmp_path / "assets" / "results" / "landscape"
+    assert (out / "transfer_0.gif").exists()
+    assert (out / "transfer_1.gif").exists()
+
+
+def test_visualize_endpoint_cli(tmp_path, monkeypatch):
+    import visualize_endpoint as cli
+
+    p = PRESETS["tiny"]
+    data_dir = make_bair_data_dir(str(tmp_path / "data") + "/", img=p["img_size"])
+    ckpt = make_model_dir(str(tmp_path / "ckpt"), preset="tiny", control=True)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["visualize_endpoint.py", "-gpu", "0", "-dataset", "bair",
+         "-ckpt_path", ckpt + "/", "-data_path", data_dir,
+         "-seq_length", "8", "-n_samples", "2", "-n_realiz", "2", "-bs", "2"],
+    )
+    cli.main()
+    out = tmp_path / "assets" / "results" / "bair_endpoint"
+    assert (out / "endpoint_0.gif").exists()
+    assert (out / "endpoint_0.png").exists()

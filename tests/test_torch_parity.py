@@ -20,7 +20,11 @@ torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    # append (not prepend): the reference's top-level script names collide
+    # with this repo's CLIs (eval_synthesis_quality.py etc.); its packages
+    # (stage1_VAE, stage2_cINN, metrics) are unique so the end of the path
+    # resolves them fine.
+    sys.path.append(REF)
 
 # CPU-only torch: neutralise .cuda() calls inside reference forwards
 torch.Tensor.cuda = lambda self, *a, **k: self
