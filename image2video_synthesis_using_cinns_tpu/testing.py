@@ -41,6 +41,26 @@ PRESETS = {
         # keep the temporal disc's final spatial size at 4 for 32px inputs
         disc_stride_s=[1, 1, 2, 1],
     ),
+    # full-size reference landscape/DTDB-style 128px architecture
+    # (stage1_VAE/configs/landscape_config.yaml: nf 32, upsample_s [2,2],
+    # 128px, resnet50-bn AE with z=128)
+    "landscape": dict(
+        img_size=128,
+        seq_length=17,
+        z_dim=64,
+        nf=32,
+        enc_channels=[64, 128, 128, 256, 512],
+        enc_stride_t=[1, 2, 2, 2],
+        enc_stride_s=[2, 2, 2, 2],
+        upsample_s=[2, 2],
+        upsample_t=[2, 1],
+        n_flows=20,
+        flow_factor=8,
+        cond_z=128,
+        ae_type="resnet50",
+        disc_channels=[64, 64, 128, 256, 512],
+        disc_stride_s=[1, 2, 2, 2],
+    ),
     # full-size reference BAIR architecture (stage1_VAE/configs/bair_config.yaml,
     # stage2_cINN/configs/bair_config.yaml, stage2_cINN/AE/configs/bair_config.yaml)
     "bair": dict(

@@ -49,3 +49,15 @@ def test_transfer(model_dir):
     x0 = rng.standard_normal((3, 3, p["img_size"], p["img_size"])).astype(np.float32)
     out = model.transfer(query, x0)
     assert out.shape == (3, 8, 3, p["img_size"], p["img_size"])
+
+
+def test_landscape_128px_family(tmp_path_factory):
+    """End-to-end facade on the 128px landscape-style architecture
+    (nf 32, per-axis upsampling [2,2]/[2,1], resnet50 'bn' embedder)."""
+    root = tmp_path_factory.mktemp("ckpts_landscape")
+    d = make_model_dir(str(root), preset="landscape")
+    model = Model(d + "/", vid_length=16, seed=3)
+    x0 = np.zeros((1, 3, 128, 128), np.float32)
+    vid = model(x0)
+    assert vid.shape == (1, 16, 3, 128, 128)
+    assert np.isfinite(np.asarray(vid)).all()

@@ -150,3 +150,43 @@ def test_vgg16_features_parity_oracle():
         np.testing.assert_allclose(
             np.transpose(np.asarray(ours), (0, 3, 1, 2)), theirs, **TOL
         )
+
+
+def test_biggan128_generator_parity():
+    """128px variable-dim generator — exercises the SelfAttention block (which
+    only fires at 128px) and the (z-100, 20x5) split, against the reference
+    torch module at full width."""
+    import sys
+    REF = "/root/reference"
+    if REF not in sys.path:
+        sys.path.append(REF)
+    torch.manual_seed(77)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    from stage2_cINN.AE.modules.generator import load_variable_latsize_generator
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.biggan import (
+        VariableDimGenerator,
+    )
+
+    tmodel = load_variable_latsize_generator(
+        128, 128, pretrained=False, use_actnorm=False, n_class=1000
+    ).eval()
+
+    rng = np.random.default_rng(7)
+    z = rng.standard_normal((1, 128)).astype(np.float32)
+    emb = rng.standard_normal((1, 1000)).astype(np.float32)
+    with torch.no_grad():
+        tmodel(torch.from_numpy(z), torch.from_numpy(emb))  # u,v warmup
+        ref = tmodel(torch.from_numpy(z), torch.from_numpy(emb)).numpy()
+
+    jmodel = VariableDimGenerator(size=128, z_dim=128, chn=96)
+    template = jax.jit(jmodel.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(z), jnp.asarray(emb)
+    )
+    converted = C.convert_biggan_generator(sd_np(tmodel), size=128)
+    variables, _ = C.merge_into_template(template, converted)
+    out = jax.jit(jmodel.apply)(variables, jnp.asarray(z), jnp.asarray(emb))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, rtol=2e-3, atol=2e-3
+    )
