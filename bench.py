@@ -71,12 +71,7 @@ def main() -> None:
         return sample_many
 
     def _sample_bf16(flow_vars, dec_vars, x0, nu):
-        from image2video_synthesis_using_cinns_tpu.models.stage1.decoder import (
-            Generator,
-        )
         # flow inverse in fp32 (exactness), decoder in bf16 (MXU-native)
-        from __graft_entry__ import entry as _e  # noqa: F401  (decoder via closure)
-
         zlat = _flow_reverse(flow_vars, x0, nu)
         dec_bf16 = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)

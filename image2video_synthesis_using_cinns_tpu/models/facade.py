@@ -22,11 +22,9 @@ implement the documented intent — time-axis truncation.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import config as cfg
 from ..utils import checkpoint as ckpt_io

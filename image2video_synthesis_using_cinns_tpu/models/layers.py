@@ -228,7 +228,15 @@ class SNDense(nn.Module, _SpectralMixin):
 # --------------------------------------------------------------------------
 
 class GroupNorm(nn.Module):
-    """GroupNorm with torch eps (1e-5), channels-last, any spatial rank."""
+    """GroupNorm with torch eps (1e-5), channels-last, any spatial rank.
+
+    Stats are computed by reducing in the NATIVE (..., C) layout: first a
+    per-channel sum / sum-of-squares (a lane-friendly reduction), then the
+    tiny (B, C) result is folded into groups. Never reshape the big tensor
+    into (B, -1, G, C/G) — on TPU that layout pads the trailing (.., C/G)
+    tile to 128 lanes, an 8x memory blow-up that both OOMs training and
+    wrecks inference bandwidth.
+    """
 
     num_groups: int = 16
     use_affine: bool = True
@@ -239,13 +247,26 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         g = self.num_groups
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
-        orig_shape = x.shape
+        b = x.shape[0]
+        spatial = 1
+        for d in x.shape[1:-1]:
+            spatial *= d
+        cnt = spatial * (c // g)
+
         x32 = x.astype(jnp.float32)
-        xg = x32.reshape(x.shape[0], -1, g, c // g)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.var(xg, axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        y = xg.reshape(orig_shape)
+        axes = tuple(range(1, x.ndim - 1))
+        s1 = jnp.sum(x32, axis=axes)            # (B, C)
+        s2 = jnp.sum(x32 * x32, axis=axes)      # (B, C)
+        s1g = jnp.sum(s1.reshape(b, g, c // g), axis=-1)  # (B, G)
+        s2g = jnp.sum(s2.reshape(b, g, c // g), axis=-1)
+        mean_g = s1g / cnt
+        var_g = jnp.maximum(s2g / cnt - mean_g * mean_g, 0.0)
+        # broadcast group stats back to per-channel vectors
+        mean_c = jnp.repeat(mean_g, c // g, axis=-1)  # (B, C)
+        rstd_c = jax.lax.rsqrt(var_g + self.eps)
+        rstd_c = jnp.repeat(rstd_c, c // g, axis=-1)
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        y = (x32 - mean_c.reshape(bshape)) * rstd_c.reshape(bshape)
         if self.use_affine:
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.resize import upsample_nearest
-from ..layers import SNConv, SNDense, leaky_relu, xavier_uniform_gain
+from ..layers import SNConv, SNDense, leaky_relu
 from .normalization import ADAIN, Norm3D, Spade
 
 

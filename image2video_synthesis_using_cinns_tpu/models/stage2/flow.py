@@ -35,7 +35,6 @@ drop; the facade reshapes at the boundary.)
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import flax.linen as nn
 import jax

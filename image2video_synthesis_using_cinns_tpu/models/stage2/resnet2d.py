@@ -13,14 +13,13 @@ into the trunk (``AE.py:126-141``), and we reproduce that.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ...ops.norms import instance_norm
-from ..layers import ActNormImage, BatchNorm, SNConv, SNDense, max_pool
+from ..layers import ActNormImage, BatchNorm, SNConv, max_pool
 from .distributions import DiagonalGaussianDistribution
 
 TV_LAYERS = {

@@ -25,10 +25,15 @@ generator forward. Here each step ends with one mutable refresh pass per
 network (one power iteration per step), keeping ``u`` state explicit and the
 gradient computations pure.
 
-TPU-first: the whole step (forwards + 3 grad computations + 3 Adam updates +
-spectral refresh) is one compiled program; under a data mesh the batch is
-sharded and XLA inserts the gradient all-reduces. ``jax.checkpoint`` wraps the
-decoder forward inside the VAE gradient to bound activation memory.
+TPU-first: the step runs as TWO jitted programs — (discs: shared forward +
+both discriminator updates) then (VAE update + spectral refresh) — mirroring
+torch's sequential backward memory profile: a single fused program holds all
+three gradient computations' live buffers at once and exceeds a 16G chip at
+the reference batch size, while the split fits with room to spare.
+``jax.checkpoint`` wraps the decoder forward and the discriminator/LPIPS
+forwards inside the VAE gradient to bound activation memory. Under a data
+mesh the batch is sharded and XLA inserts the gradient all-reduces in both
+programs.
 """
 
 from __future__ import annotations
@@ -125,13 +130,14 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
         real = jnp.take(_flat_frames(seq_orig), idx, axis=0)
         return fake, real
 
-    def step(state: Stage1State, seq, epoch, rng):
-        k_sample, k_sub, k_patch = jax.random.split(rng, 3)
-        dec_params, dec_aux = split_vars(state.dec_vars)
-        enc_params, enc_aux = split_vars(state.enc_vars)
+    def disc_step(disc_t_vars, disc_s_vars, opt_dt_in, opt_ds_in,
+                  dec_vars, enc_vars, seq, epoch, k_sample, k_sub, k_patch):
+        """Program 1: shared forward (detached) + both discriminator updates
+        + their spectral refresh + image metrics."""
+        dec_params, dec_aux = split_vars(dec_vars)
+        enc_params, enc_aux = split_vars(enc_vars)
         gate = (epoch >= pretrain).astype(jnp.float32)
 
-        # ---------- shared forward (discs see it detached) ----------
         seq_gen, seq_orig, mu, logvar = fwd_vae(
             dec_params, enc_params, (dec_aux, enc_aux), seq, k_sample
         )
@@ -144,7 +150,7 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
         data_fake, data_real = patch_frames(seq_gen_sg, seq_orig, k_patch)
 
         # ---------- (a) temporal discriminator ----------
-        dt_params, dt_aux = split_vars(state.disc_t_vars)
+        dt_params, dt_aux = split_vars(disc_t_vars)
 
         def d_t_loss(params):
             variables = join_vars(params, dt_aux)
@@ -166,12 +172,12 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
         (_, (L_d_t, L_GP, logit_rt, logit_ft)), g_dt = jax.value_and_grad(
             d_t_loss, has_aux=True
         )(dt_params)
-        upd, new_opt_dt = opt_dt.update(g_dt, state.opt_dt, dt_params)
+        upd, new_opt_dt = opt_dt.update(g_dt, opt_dt_in, dt_params)
         dt_params = _gated(gate, optax.apply_updates(dt_params, upd), dt_params)
-        opt_dt_state = _gated(gate, new_opt_dt, state.opt_dt)
+        opt_dt_state = _gated(gate, new_opt_dt, opt_dt_in)
 
         # ---------- (b) patch discriminator ----------
-        ds_params, ds_aux = split_vars(state.disc_s_vars)
+        ds_params, ds_aux = split_vars(disc_s_vars)
 
         def d_s_loss(params):
             variables = join_vars(params, ds_aux)
@@ -183,12 +189,43 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
         (L_d_s, (logit_rs, logit_fs)), g_ds = jax.value_and_grad(
             d_s_loss, has_aux=True
         )(ds_params)
-        upd, new_opt_ds = opt_ds.update(g_ds, state.opt_ds, ds_params)
+        upd, new_opt_ds = opt_ds.update(g_ds, opt_ds_in, ds_params)
         ds_params = _gated(gate, optax.apply_updates(ds_params, upd), ds_params)
-        opt_ds_state = _gated(gate, new_opt_ds, state.opt_ds)
+        opt_ds_state = _gated(gate, new_opt_ds, opt_ds_in)
 
-        disc_t_vars = join_vars(dt_params, dt_aux)
-        disc_s_vars = join_vars(ds_params, ds_aux)
+        # spectral refresh for the (updated) discriminators
+        _, dt_mut = disc_t.apply(
+            join_vars(dt_params, dt_aux), seq_fake, mutable=["spectral"]
+        )
+        dt_aux = {**dt_aux, **dt_mut}
+        _, ds_mut = disc_s.apply(
+            join_vars(ds_params, ds_aux), data_fake, mutable=["spectral"]
+        )
+        ds_aux = {**ds_aux, **ds_mut}
+
+        disc_metrics = {
+            "Loss_Disc_T": L_d_t,
+            "L_GP": L_GP,
+            "Logits_Real_T": logit_rt,
+            "Logits_Fake_T": logit_ft,
+            "Loss_Disc_S": L_d_s,
+            "Logits_Real_S": logit_rs,
+            "Logits_Fake_S": logit_fs,
+            "PSNR": PSNR,
+            "SSIM": SSIM,
+        }
+        return (
+            join_vars(dt_params, dt_aux), join_vars(ds_params, ds_aux),
+            opt_dt_state, opt_ds_state, seq_gen_sg, disc_metrics,
+        )
+
+    def vae_step(dec_vars, enc_vars, opt_ae_in, disc_t_vars, disc_s_vars,
+                 seq, epoch, k_sample, k_sub, k_patch):
+        """Program 2: VAE update against the freshly-updated discriminators +
+        generator spectral refresh."""
+        dec_params, dec_aux = split_vars(dec_vars)
+        enc_params, enc_aux = split_vars(enc_vars)
+        gate = (epoch >= pretrain).astype(jnp.float32)
 
         # ---------- (c) VAE (encoder + decoder), against updated discs ------
         def vae_loss(params):
@@ -197,18 +234,24 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
             sf, sr = subsample(sg, so, k_sub)
             df, _ = patch_frames(sg, so, k_patch)
 
-            pred_fake_s = disc_s.apply(disc_s_vars, df)
+            # remat the disc/LPIPS forwards: recompute in the backward pass
+            # instead of holding their activations (memory >> recompute here)
+            pred_fake_s = jax.checkpoint(
+                lambda x: disc_s.apply(disc_s_vars, x)
+            )(df)
             loss_gen_s = hinge_loss(pred_fake_s, None, "gen")
 
-            pred_fake_t, fmap_f = disc_t.apply(disc_t_vars, sf)
+            pred_fake_t, fmap_f = jax.checkpoint(
+                lambda x: disc_t.apply(disc_t_vars, x)
+            )(sf)
             _, fmap_r = disc_t.apply(disc_t_vars, sr)
             coup_t = hinge_loss(pred_fake_t, None, "gen")
             L_fmap = fmap_loss(fmap_f, fmap_r, "L1")
 
             lp = jnp.mean(
-                bundle.lpips.apply(
-                    bundle.lpips_vars, _flat_frames(so), _flat_frames(sg)
-                )
+                jax.checkpoint(
+                    lambda a, b: bundle.lpips.apply(bundle.lpips_vars, a, b)
+                )(_flat_frames(so), _flat_frames(sg))
             )
             L_recon = jnp.mean(jnp.abs(sg - so))
             L_kl = KL(mu_, logvar_)
@@ -233,49 +276,48 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
             (dec_params, enc_params)
         )
         upd, opt_ae_state = opt_ae.update(
-            g_vae, state.opt_ae, (dec_params, enc_params)
+            g_vae, opt_ae_in, (dec_params, enc_params)
         )
         dec_params, enc_params = optax.apply_updates((dec_params, enc_params), upd)
 
-        # ---------- spectral-norm power-iteration refresh ----------
+        # generator spectral-norm power-iteration refresh
+        motion_sg, _, _ = encoder.apply(
+            join_vars(enc_params, enc_aux), seq[:, 1:], rngs={"sample": k_sample}
+        )
         _, dec_mut = decoder.apply(
             join_vars(dec_params, dec_aux), seq[:, 0],
-            jax.lax.stop_gradient(mu), mutable=["spectral"],
+            jax.lax.stop_gradient(motion_sg), mutable=["spectral"],
         )
         dec_aux = {**dec_aux, **dec_mut}
-        _, dt_mut = disc_t.apply(
-            join_vars(dt_params, dt_aux), seq_fake, mutable=["spectral"]
-        )
-        dt_aux = {**dt_aux, **dt_mut}
-        _, ds_mut = disc_s.apply(
-            join_vars(ds_params, ds_aux), data_fake, mutable=["spectral"]
-        )
-        ds_aux = {**ds_aux, **ds_mut}
 
-        metrics = dict(vae_metrics)
-        metrics.update(
-            {
-                "Loss_Disc_T": L_d_t,
-                "L_GP": L_GP,
-                "Logits_Real_T": logit_rt,
-                "Logits_Fake_T": logit_ft,
-                "Loss_Disc_S": L_d_s,
-                "Logits_Real_S": logit_rs,
-                "Logits_Fake_S": logit_fs,
-                "PSNR": PSNR,
-                "SSIM": SSIM,
-            }
-        )
-        new_state = Stage1State(
+        return (
             join_vars(dec_params, dec_aux),
             join_vars(enc_params, enc_aux),
-            join_vars(dt_params, dt_aux),
-            join_vars(ds_params, ds_aux),
+            opt_ae_state, vae_metrics,
+        )
+
+    disc_step_j = jax.jit(disc_step, donate_argnums=(0, 1, 2, 3))
+    vae_step_j = jax.jit(vae_step, donate_argnums=(0, 1, 2))
+
+    def step(state: Stage1State, seq, epoch, rng):
+        k_sample, k_sub, k_patch = jax.random.split(rng, 3)
+        (disc_t_vars, disc_s_vars, opt_dt_state, opt_ds_state, seq_gen_sg,
+         disc_metrics) = disc_step_j(
+            state.disc_t_vars, state.disc_s_vars, state.opt_dt, state.opt_ds,
+            state.dec_vars, state.enc_vars, seq, epoch, k_sample, k_sub, k_patch,
+        )
+        dec_vars, enc_vars, opt_ae_state, vae_metrics = vae_step_j(
+            state.dec_vars, state.enc_vars, state.opt_ae,
+            disc_t_vars, disc_s_vars, seq, epoch, k_sample, k_sub, k_patch,
+        )
+        metrics = {**vae_metrics, **disc_metrics}
+        new_state = Stage1State(
+            dec_vars, enc_vars, disc_t_vars, disc_s_vars,
             opt_ae_state, opt_dt_state, opt_ds_state,
         )
         return new_state, metrics, seq_gen_sg
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
 
 
 def make_stage1_eval_step(bundle: Stage1Bundle):

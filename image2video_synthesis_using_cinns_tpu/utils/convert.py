@@ -24,9 +24,6 @@ torch is only needed to *read* ``.pth`` files; everything else is numpy.
 
 from __future__ import annotations
 
-import re
-from typing import Callable
-
 import numpy as np
 
 

@@ -1,0 +1,66 @@
+"""FVD / DTFVD scoring machinery end-to-end with random-init backbones
+(weights are converted offline in production; the machinery — resize, denorm,
+time tiling, activation batching, Fréchet — is what these tests pin down)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image2video_synthesis_using_cinns_tpu.metrics import fvd as fvd_mod
+from image2video_synthesis_using_cinns_tpu.models.backbones.i3d import I3D
+
+
+def _random_model(kind: str) -> fvd_mod.I3DModel:
+    if kind == "kinetics":
+        module = I3D(num_classes=400, head="logits")
+        t = 16
+    elif kind == "dt16":
+        module = I3D(num_classes=18, head="representation", avg_pool_t=2)
+        t = 16
+    else:
+        module = I3D(num_classes=18, head="representation", avg_pool_t=4)
+        t = 32
+    variables = jax.jit(module.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, t, 224, 224, 3))
+    )
+    return fvd_mod.I3DModel(module, variables, kind)
+
+
+@pytest.fixture(scope="module")
+def kin_model():
+    return _random_model("kinetics")
+
+
+def test_fvd_same_distribution_small(kin_model, rng):
+    vids = rng.uniform(-1, 1, (8, 16, 32, 32, 3)).astype(np.float32)
+    score = fvd_mod.calculate_FVD(kin_model, vids[:4], vids[4:], batch_size=4)
+    assert np.isfinite(score)
+    ident = fvd_mod.calculate_FVD(kin_model, vids[:4], vids[:4], batch_size=4)
+    assert ident < 1e-3  # identical sets → ~0
+
+
+def test_fvd_separates_distributions(kin_model, rng):
+    a = rng.uniform(-1, 1, (6, 16, 32, 32, 3)).astype(np.float32)
+    b = np.clip(a + 0.8, -1, 1)
+    near = fvd_mod.calculate_FVD(kin_model, a[:3], a[3:], batch_size=3)
+    far = fvd_mod.calculate_FVD(kin_model, a, b, batch_size=3)
+    assert far > near
+
+
+def test_dtfvd_time_tiling(rng):
+    model = _random_model("dt16")
+    # 8-frame clips tile x3 then truncate to 16 (reference DTFVD_Score.py:174)
+    vids = rng.uniform(-1, 1, (4, 8, 32, 32, 3)).astype(np.float32)
+    score = fvd_mod.calculate_FVD(model, vids[:2], vids[2:], batch_size=2)
+    assert np.isfinite(score)
+
+
+def test_official_protocol_grouping(kin_model, rng, monkeypatch):
+    monkeypatch.setattr(fvd_mod, "load_model", lambda *a, **k: kin_model)
+    # grouped tensors (G, 16, T, C, H, W) like eval_synthesis_quality builds
+    # kinetics I3D needs >=16 frames (temporal pooling chain, like the ref)
+    g = rng.uniform(-1, 1, (1, 16, 16, 3, 32, 32)).astype(np.float32)
+    r = rng.uniform(-1, 1, (1, 16, 16, 3, 32, 32)).astype(np.float32)
+    score = fvd_mod.compute_fvd_official_protocol(g, r)
+    assert np.isfinite(score)
