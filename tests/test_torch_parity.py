@@ -344,3 +344,50 @@ def test_i3d_kinetics_parity():
     variables, _ = C.merge_into_template(template, converted)
     _, logits = jax.jit(jmodel.apply)(variables, jnp.asarray(x_cl))
     np.testing.assert_allclose(np.asarray(logits), to_np(ref_logits), rtol=1e-3, atol=1e-3)
+
+
+def test_flow_actnorm_lazy_init_parity():
+    """The reference's ActNorms initialise lazily on the first batch, block by
+    block (each block's stats depend on upstream freshly-initialised blocks).
+    Our explicit ``actnorm_init`` pass must produce the same loc/scale."""
+    torch.manual_seed(99)
+    from stage2_cINN.modules.flow_blocks import ConditionalFlow as RefFlow
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.flow import (
+        actnorm_init,
+        control_mask,
+    )
+
+    CC, E, H, NF = 16, 12, 32, 4
+    tmodel = RefFlow(in_channels=CC, embedding_dim=E, hidden_dim=H,
+                     hidden_depth=2, n_flows=NF, conditioning_option="none").eval()
+    pre_sd = sd_np(tmodel)  # loc=0, scale=1, uninitialised
+
+    rng = np.random.default_rng(10)
+    x = (2.0 + rng.standard_normal((64, CC))).astype(np.float32)
+    emb = rng.standard_normal((64, E)).astype(np.float32)
+    with torch.no_grad():
+        tmodel(torch.from_numpy(x), torch.from_numpy(emb))  # lazy init happens
+    post_sd = sd_np(tmodel)
+
+    converted = C.convert_conditional_flow(pre_sd, n_flows=NF, hidden_depth=2,
+                                           in_channels=CC, embedding_dim=E)
+    blocks = converted["params"]["blocks"]
+    buffers = jax.tree.map(jnp.asarray, converted["buffers"]["shuffle"])
+    mask = control_mask(NF, False)
+    new_blocks = actnorm_init(
+        jax.tree.map(jnp.asarray, blocks), buffers,
+        jnp.asarray(x), jnp.asarray(emb), mask,
+    )
+
+    for fl in range(NF):
+        ref_loc = post_sd[f"sub_layers.{fl}.norm_layer.loc"].reshape(-1)
+        ref_scale = post_sd[f"sub_layers.{fl}.norm_layer.scale"].reshape(-1)
+        np.testing.assert_allclose(
+            np.asarray(new_blocks["actnorm"]["loc"][fl]), ref_loc,
+            rtol=1e-3, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_blocks["actnorm"]["scale"][fl]), ref_scale,
+            rtol=1e-3, atol=1e-3,
+        )
