@@ -128,7 +128,16 @@ class Model:
     def _load_or_init(self, module, ckpt_path, allow_random_init, init_args, init_rngs=None):
         if ckpt_path is not None:
             payload = ckpt_io.load(ckpt_path)
-            return payload.get("state_dict", payload)
+            variables = payload.get("state_dict", payload)
+            if isinstance(variables, dict) and not (
+                "params" in variables or "buffers" in variables
+            ):
+                raise ValueError(
+                    f"{ckpt_path} is not a native variables checkpoint (it "
+                    "looks like a raw torch state_dict); convert it first: "
+                    "python scripts/convert_weights.py <kind> --src <file>"
+                )
+            return variables
         if not allow_random_init:
             raise FileNotFoundError(
                 f"no checkpoint found for {type(module).__name__}; pass "
