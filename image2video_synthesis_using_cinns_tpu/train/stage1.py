@@ -239,7 +239,8 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
                 break
 
         if sequences is not None:
-            plot_vid(opt, sequences, epoch, mode="train")
+            gif = plot_vid(opt, sequences, epoch, mode="train")
+            wandb_sink.log_video("train_video", gif)
 
         # ---------------- validate ----------------
         log_test.reset()

@@ -85,3 +85,14 @@ class WandbSink:
                 self._run.log(dic)
             except Exception:
                 pass
+
+    def log_video(self, key: str, frames, fps: int = 3) -> None:
+        """frames: (T, C, H, W) uint8 — matches plot_vid's return (the
+        reference logs the same array via wandb.Video, stage1 main.py:49)."""
+        if self.enabled and self._run is not None:
+            try:
+                import wandb
+
+                self._run.log({key: wandb.Video(frames, fps=fps, format="gif")})
+            except Exception:
+                pass
