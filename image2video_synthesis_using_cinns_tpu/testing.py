@@ -58,6 +58,7 @@ PRESETS = {
         flow_factor=8,
         cond_z=128,
         ae_type="resnet50",
+        ae_norm="bn",
         disc_channels=[64, 64, 128, 256, 512],
         disc_stride_s=[1, 2, 2, 2],
     ),
@@ -152,7 +153,7 @@ def stage2_ae_config(p: dict) -> cfg.Config:
             "AE": {
                 "deterministic": False,
                 "in_size": p["img_size"],
-                "norm": "in",
+                "norm": p.get("ae_norm", "in"),
                 "encoder_type": p["ae_type"],
                 "use_actnorm_in_dec": False,
                 "z_dim": p["cond_z"],

@@ -72,3 +72,14 @@ def test_ae_training_smoke(tmp_path):
     assert os.path.exists(os.path.join(out["save_path"], "config_stage2_AE.yaml"))
     assert os.path.exists(os.path.join(out["save_path"], "Encoder_stage2.msgpack"))
     assert np.isfinite(out["train_loss"]).all()
+
+
+def test_biggan_actnorm_variant():
+    """use_actnorm_in_dec=True path: ConditionalActNorm + final ActNorm."""
+    gen = VariableDimGenerator(size=64, z_dim=64, chn=8, use_actnorm=True)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 1000))
+    variables = jax.jit(gen.init)({"params": jax.random.PRNGKey(2)}, z, emb)
+    out = jax.jit(gen.apply)(variables, z, emb)
+    assert out.shape == (2, 64, 64, 3)
+    assert "actnorm_stats" in variables
