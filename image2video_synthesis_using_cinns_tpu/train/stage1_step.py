@@ -220,7 +220,7 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
         )
 
     def vae_step(dec_vars, enc_vars, opt_ae_in, disc_t_vars, disc_s_vars,
-                 seq, epoch, k_sample, k_sub, k_patch):
+                 lpips_vars, seq, epoch, k_sample, k_sub, k_patch):
         """Program 2: VAE update against the freshly-updated discriminators +
         generator spectral refresh."""
         dec_params, dec_aux = split_vars(dec_vars)
@@ -250,8 +250,8 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
 
             lp = jnp.mean(
                 jax.checkpoint(
-                    lambda a, b: bundle.lpips.apply(bundle.lpips_vars, a, b)
-                )(_flat_frames(so), _flat_frames(sg))
+                    lambda v, a, b: bundle.lpips.apply(v, a, b)
+                )(lpips_vars, _flat_frames(so), _flat_frames(sg))
             )
             L_recon = jnp.mean(jnp.abs(sg - so))
             L_kl = KL(mu_, logvar_)
@@ -308,7 +308,8 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
         )
         dec_vars, enc_vars, opt_ae_state, vae_metrics = vae_step_j(
             state.dec_vars, state.enc_vars, state.opt_ae,
-            disc_t_vars, disc_s_vars, seq, epoch, k_sample, k_sub, k_patch,
+            disc_t_vars, disc_s_vars, bundle.lpips_vars,
+            seq, epoch, k_sample, k_sub, k_patch,
         )
         metrics = {**vae_metrics, **disc_metrics}
         new_state = Stage1State(
@@ -326,7 +327,7 @@ def make_stage1_eval_step(bundle: Stage1Bundle):
     decoder, encoder = bundle.decoder, bundle.encoder
 
     @jax.jit
-    def eval_step(dec_vars, enc_vars, seq, rng):
+    def _eval_step(dec_vars, enc_vars, lpips_vars, seq, rng):
         seq_orig = seq[:, 1:]
         motion, mu, logvar = encoder.apply(enc_vars, seq_orig, rngs={"sample": rng})
         seq_gen = decoder.apply(dec_vars, seq[:, 0], motion)
@@ -334,7 +335,7 @@ def make_stage1_eval_step(bundle: Stage1Bundle):
         SSIM = ssim(_flat_frames(seq_gen), _flat_frames(seq_orig))
         lp = jnp.mean(
             bundle.lpips.apply(
-                bundle.lpips_vars, _flat_frames(seq_orig), _flat_frames(seq_gen)
+                lpips_vars, _flat_frames(seq_orig), _flat_frames(seq_gen)
             )
         )
         L_recon = jnp.mean(jnp.abs(seq_gen - seq_orig))
@@ -344,5 +345,8 @@ def make_stage1_eval_step(bundle: Stage1Bundle):
             "PSNR": PSNR, "SSIM": SSIM,
         }
         return metrics, seq_gen
+
+    def eval_step(dec_vars, enc_vars, seq, rng):
+        return _eval_step(dec_vars, enc_vars, bundle.lpips_vars, seq, rng)
 
     return eval_step

@@ -85,12 +85,17 @@ def build_models(opt):
 
 
 def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, optimizer, control: bool):
-    """One jitted DP step. ``trainable`` = flow params; embedder frozen."""
+    """One jitted DP step. ``trainable`` = flow params; embedder frozen.
 
-    def loss_fn(flow_params, frozen, buffers, seq, cond_pos, rng):
+    The frozen encoder weights are threaded as jit *arguments* (bound via the
+    returned closures), never captured as jaxpr constants — closure capture
+    bakes ~100MB of weights into the serialized HLO, which at full size
+    overflows the remote-compile transport and bloats every compile."""
+
+    def loss_fn(flow_params, frozen, buffers, enc_v, seq, cond_pos, rng):
         # frozen dynamics posterior of frames 1:
         k_enc, k_ref = jax.random.split(rng)
-        post, _, _ = encoder.apply(enc_vars, seq[:, 1:], rngs={"sample": k_enc})
+        post, _, _ = encoder.apply(enc_v, seq[:, 1:], rngs={"sample": k_enc})
         post = jax.lax.stop_gradient(post.reshape(post.shape[0], -1))
         cond = [seq[:, 0]] if not control else [seq[:, 0], cond_pos]
         variables = {
@@ -102,18 +107,24 @@ def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, 
         return loss, aux
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(flow_params, opt_state, frozen, buffers, seq, cond_pos, rng):
+    def _step(flow_params, opt_state, frozen, buffers, enc_v, seq, cond_pos, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            flow_params, frozen, buffers, seq, cond_pos, rng
+            flow_params, frozen, buffers, enc_v, seq, cond_pos, rng
         )
         updates, opt_state = optimizer.update(grads, opt_state, flow_params)
         flow_params = jax.tree.map(lambda p, u: p + u, flow_params, updates)
         return flow_params, opt_state, aux
 
     @jax.jit
-    def eval_step(flow_params, frozen, buffers, seq, cond_pos, rng):
-        _, aux = loss_fn(flow_params, frozen, buffers, seq, cond_pos, rng)
+    def _eval_step(flow_params, frozen, buffers, enc_v, seq, cond_pos, rng):
+        _, aux = loss_fn(flow_params, frozen, buffers, enc_v, seq, cond_pos, rng)
         return aux
+
+    def step(flow_params, opt_state, frozen, buffers, seq, cond_pos, rng):
+        return _step(flow_params, opt_state, frozen, buffers, enc_vars, seq, cond_pos, rng)
+
+    def eval_step(flow_params, frozen, buffers, seq, cond_pos, rng):
+        return _eval_step(flow_params, frozen, buffers, enc_vars, seq, cond_pos, rng)
 
     return step, eval_step
 
