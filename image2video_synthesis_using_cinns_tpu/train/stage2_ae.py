@@ -55,27 +55,30 @@ def _colorize_leaf_norm(grad_params):
 
 def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
                  opt_gen, opt_disc, w_kl: float, pretrain: int):
-    def recon_and_losses(gen_params, gen_aux, logvar, img, train):
+    """LPIPS weights are threaded as a jit argument (bound below), not a
+    closure constant — see train/stage2.py for why."""
+
+    def recon_and_losses(gen_params, gen_aux, logvar, lpips_v, img, train):
         variables = join_vars(gen_params, gen_aux)
         p = network.apply(variables, img, method="encode", train=train)
         h = network.apply(variables, p.mode(), method="decode_features", train=train)
         recon = network.apply(variables, h, method="colorize")
         rec_l1 = jnp.abs(img - recon)
-        p_loss = lpips.apply(lpips_vars, img, recon)  # (B,)
+        p_loss = lpips.apply(lpips_v, img, recon)  # (B,)
         rec_loss = rec_l1 + p_loss[:, None, None, None]
         kl_loss = p.kl()
         nll = rec_loss / jnp.exp(logvar) + logvar
         nll_loss = jnp.sum(nll) / nll.shape[0]
         return recon, rec_loss, nll_loss, kl_loss
 
-    def step(gen_vars, logvar, disc_vars, opt_g, opt_d, img, epoch, train=True):
+    def step(gen_vars, logvar, disc_vars, opt_g, opt_d, lpips_v, img, epoch, train=True):
         gen_params, gen_aux = split_vars(gen_vars)
         disc_factor = (epoch >= pretrain).astype(jnp.float32)
 
         # ---- backward 1: nll + kl w.r.t. (gen params, logvar) ----
         def loss_nll(args):
             gp, lv = args
-            _, _, nll_loss, kl_loss = recon_and_losses(gp, gen_aux, lv, img, train)
+            _, _, nll_loss, kl_loss = recon_and_losses(gp, gen_aux, lv, lpips_v, img, train)
             return nll_loss + w_kl * kl_loss, (nll_loss, kl_loss)
 
         (_, (nll_loss, kl_loss)), g1 = jax.value_and_grad(loss_nll, has_aux=True)(
@@ -84,7 +87,7 @@ def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
 
         # ---- backward 2: g_loss w.r.t. gen params ----
         def loss_g(gp):
-            recon, _, _, _ = recon_and_losses(gp, gen_aux, logvar, img, train)
+            recon, _, _, _ = recon_and_losses(gp, gen_aux, logvar, lpips_v, img, train)
             logits_fake = disc.apply(disc_vars, recon)
             return -jnp.mean(logits_fake)
 
@@ -106,7 +109,7 @@ def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
         # ---- recompute recon (post-update metrics use pre-update recon; the
         # reference logs pre-update values, so reuse the detached recon) ----
         recon, rec_loss, _, _ = recon_and_losses(
-            jax.lax.stop_gradient(gen_params), gen_aux, logvar, img, train
+            jax.lax.stop_gradient(gen_params), gen_aux, logvar, lpips_v, img, train
         )
         recon = jax.lax.stop_gradient(recon)
 
@@ -164,13 +167,20 @@ def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
             opt_g, opt_d, metrics, recon,
         )
 
-    train_step = jax.jit(
-        lambda gv, lv, dv, og, od, img, ep: step(gv, lv, dv, og, od, img, ep, True),
+    _train = jax.jit(
+        lambda gv, lv, dv, og, od, lpv, img, ep: step(gv, lv, dv, og, od, lpv, img, ep, True),
         donate_argnums=(0, 1, 2, 3, 4),
     )
-    eval_step = jax.jit(
-        lambda gv, lv, dv, og, od, img, ep: step(gv, lv, dv, og, od, img, ep, False)
+    _eval = jax.jit(
+        lambda gv, lv, dv, og, od, lpv, img, ep: step(gv, lv, dv, og, od, lpv, img, ep, False)
     )
+
+    def train_step(gv, lv, dv, og, od, img, ep):
+        return _train(gv, lv, dv, og, od, lpips_vars, img, ep)
+
+    def eval_step(gv, lv, dv, og, od, img, ep):
+        return _eval(gv, lv, dv, og, od, lpips_vars, img, ep)
+
     return train_step, eval_step
 
 
