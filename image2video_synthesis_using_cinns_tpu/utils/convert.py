@@ -556,12 +556,15 @@ def convert_bigae(sd: dict, config: dict) -> dict:
     cls_sd = {k[len("decoder.map_to_class_embedding."):]: v for k, v in sd.items()
               if k.startswith("decoder.map_to_class_embedding.")}
 
-    enc = convert_resnet_encoder(enc_sd, config["encoder_type"], config["norm"])
-    dec = convert_biggan_generator(dec_sd, config["in_size"])
+    # tolerate partial checkpoints (e.g. encoder-only saves)
+    enc = (convert_resnet_encoder(enc_sd, config["encoder_type"], config["norm"])
+           if enc_sd else {})
+    dec = convert_biggan_generator(dec_sd, config["in_size"]) if dec_sd else {}
 
     cls_params = {}
     li = 0
-    for i in (0, 2, 4):
+    # ClassUp(depth=2): Linear at main indices 0, 2, 4 and the head at 6
+    for i in (0, 2, 4, 6):
         if f"main.{i}.weight" in cls_sd:
             cls_params[f"l{li}"] = {
                 "kernel": t_linear(np.asarray(cls_sd[f"main.{i}.weight"])),

@@ -139,3 +139,49 @@ def test_reference_checkpoint_dir_migration(tmp_path):
     np.testing.assert_allclose(
         np.transpose(ours, (0, 1, 4, 2, 3)), ref, rtol=5e-4, atol=5e-4
     )
+
+
+def test_bigae_full_checkpoint_conversion():
+    """Full BigAE .pth (encoder needs torchvision — skipped without it) or,
+    lacking torchvision, the decoder+ClassUp sub-conversion: every ClassUp
+    linear (main.0/2/4/6) must land in the template."""
+    torch.manual_seed(3)
+    import torch.nn as tnn
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.biggan import (
+        ClassUp as JClassUp,
+    )
+
+    # hand-built oracle with the reference ClassUp structure (AE.py:11-28) —
+    # the reference module itself imports torchvision, unavailable here
+    tcls = tnn.Sequential()
+    mods = [tnn.Linear(16, 2000), tnn.LeakyReLU(),
+            tnn.Linear(2000, 2000), tnn.LeakyReLU(),
+            tnn.Linear(2000, 2000), tnn.LeakyReLU(),
+            tnn.Linear(2000, 1000)]
+    main = tnn.Sequential(*mods)
+
+    class _ClassUp(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.main = main
+
+        def forward(self, x):
+            return torch.softmax(self.main(x), dim=1)
+
+    tcls = _ClassUp().eval()
+    sd = {f"decoder.map_to_class_embedding.{k}": v for k, v in
+          {k: v.detach().numpy() for k, v in tcls.state_dict().items()}.items()}
+    out = C.convert_bigae(sd, {"encoder_type": "resnet18", "norm": "in", "in_size": 64})
+    cls_params = out["params"]["decoder_wrap"]["map_to_class_embedding"]
+    assert set(cls_params) == {"l0", "l1", "l2", "l3"}
+
+    # numerical parity of the converted ClassUp
+    jcls = JClassUp(dim=16, depth=2, hidden_dim=2000, out_dim=1000)
+    x = np.random.default_rng(0).standard_normal((2, 16)).astype(np.float32)
+    template = jax.jit(jcls.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))
+    variables, _ = C.merge_into_template(template, {"params": cls_params})
+    ours = jax.jit(jcls.apply)(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tcls(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
