@@ -169,8 +169,25 @@ class Model:
         out = self.decoder.apply(cast, img.astype(dt), z.astype(dt))
         return out.astype(jnp.float32)
 
+    @property
+    def _base_frames(self) -> int:
+        """Frames per decoder application: T = 8 * prod(upsample_t) (seed T=1,
+        three fixed x2 temporal upsamples, then the per-axis factors)."""
+        t = 8
+        for f in self.decoder.upsample_t:
+            t *= f
+        return t
+
     def _sample_fn(self):
+        """Sampling + autoregressive extension fused into ONE program: the
+        reference re-dispatches the decoder per 16-frame chunk
+        (``get_model.py:71-74``); here the extension is a ``lax.scan`` inside
+        the jit, so long sequences cost one launch (significant when each
+        dispatch pays relay RPC latency)."""
         if "sample" not in self._fn_cache:
+            n_repeats = max(
+                0, -(-self.vid_length // self._base_frames) - 1
+            )  # extra decoder applications beyond the first
 
             @jax.jit
             def sample(flow_vars, dec_vars, x0_cl, cond_extra, residual):
@@ -178,7 +195,18 @@ class Model:
                 z = self.flow.apply(flow_vars, residual, cond, reverse=True)
                 z = z.reshape(x0_cl.shape[0], -1)
                 seq = self._decode(dec_vars, x0_cl, z)
-                return seq, z
+                if n_repeats > 0:
+                    def ext(last_frame, _):
+                        s1 = self._decode(dec_vars, last_frame, z)
+                        return s1[:, -1], s1
+
+                    _, exts = jax.lax.scan(ext, seq[:, -1], None, length=n_repeats)
+                    # (n, B, T, H, W, C) → concat on time after the base clip
+                    exts = jnp.concatenate(
+                        [exts[i] for i in range(n_repeats)], axis=1
+                    )
+                    seq = jnp.concatenate([seq, exts], axis=1)
+                return seq[:, : self.vid_length] if seq.shape[1] > self.vid_length else seq, z
 
             self._fn_cache["sample"] = sample
         return self._fn_cache["sample"]
@@ -207,8 +235,9 @@ class Model:
             residual = jax.random.normal(self._next_key(), (b, self.z_dim))
         cond_extra = None if cond is None else jnp.asarray(cond)
 
-        seq, z = self._sample_fn()(self.flow_vars, self.decoder_vars, x0_cl, cond_extra, residual)
-        seq = self._extend(seq, z)
+        seq, _ = self._sample_fn()(
+            self.flow_vars, self.decoder_vars, x0_cl, cond_extra, residual
+        )
         return jnp.transpose(seq, (0, 1, 4, 2, 3))  # (B,T,C,H,W)
 
     def _extend(self, seq, z):
