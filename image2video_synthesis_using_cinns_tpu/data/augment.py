@@ -14,7 +14,10 @@ Pipelines (matching the two reference variants):
 
 Color jitter uses torchvision factor semantics (kornia delegates to the same
 definitions): brightness/contrast/saturation blend factors ~ U(1±x), hue shift
-~ U(−h, h) in HSV. Normalize(0.5, 0.5) maps [0,1] → [−1,1].
+~ U(−h, h) in HSV, and — like torchvision/kornia ColorJitter — the enabled
+adjustments are applied in a *random order* drawn per clip
+(reference: ``data/augmentation.py:12-13`` delegates to kornia ColorJitter).
+Normalize(0.5, 0.5) maps [0,1] → [−1,1].
 """
 
 from __future__ import annotations
@@ -88,7 +91,7 @@ def _adjust_hue(x, shift):
 
 def _augment_clip(clip, key, *, img_size, params, random_crop, train):
     """clip: (T,H,W,3) float in [0,1]."""
-    k_flip, k_crop, k_b, k_c, k_s, k_h = jax.random.split(key, 6)
+    k_flip, k_crop_y, k_crop_x, k_b, k_c, k_s, k_h, k_order = jax.random.split(key, 8)
 
     target = img_size + 16 if (train and random_crop) else img_size
     clip = resize_bilinear(clip, (target, target))
@@ -99,28 +102,46 @@ def _augment_clip(clip, key, *, img_size, params, random_crop, train):
         clip = jnp.where(do_flip, clip[:, :, ::-1, :], clip)
 
         if random_crop:
-            y0 = jax.random.randint(k_crop, (), 0, 17)
-            x0 = jax.random.randint(k_crop, (), 0, 17)
+            # y/x offsets from independent keys — kornia RandomCrop samples
+            # them independently (reference data/augmentation.py:11).
+            y0 = jax.random.randint(k_crop_y, (), 0, 17)
+            x0 = jax.random.randint(k_crop_x, (), 0, 17)
             clip = jax.lax.dynamic_slice(
                 clip, (0, y0, x0, 0), (clip.shape[0], img_size, img_size, 3)
             )
 
+        # Enabled jitter ops, each (adjust_fn, sampled factor). Applied below
+        # in a random per-clip order, matching torchvision/kornia ColorJitter
+        # semantics (reference data/augmentation.py:12-13).
+        ops = []
         b = params.get("brightness", 0.0)
         if b:
             factor = jax.random.uniform(k_b, (), minval=max(0.0, 1 - b), maxval=1 + b)
-            clip = _adjust_brightness(clip, factor)
+            ops.append((_adjust_brightness, factor))
         c = params.get("contrast", 0.0)
         if c:
             factor = jax.random.uniform(k_c, (), minval=max(0.0, 1 - c), maxval=1 + c)
-            clip = _adjust_contrast(clip, factor)
+            ops.append((_adjust_contrast, factor))
         s = params.get("saturation", 0.0)
         if s:
             factor = jax.random.uniform(k_s, (), minval=max(0.0, 1 - s), maxval=1 + s)
-            clip = _adjust_saturation(clip, factor)
+            ops.append((_adjust_saturation, factor))
         h = params.get("hue", 0.0)
         if h:
             shift = jax.random.uniform(k_h, (), minval=-h, maxval=h)
-            clip = _adjust_hue(clip, shift)
+            ops.append((_adjust_hue, shift))
+
+        if len(ops) == 1:
+            fn, factor = ops[0]
+            clip = fn(clip, factor)
+        elif len(ops) > 1:
+            branches = [lambda cur, fn=fn, f=factor: fn(cur, f) for fn, factor in ops]
+            perm = jax.random.permutation(k_order, len(ops))
+
+            def _apply(i, cur):
+                return jax.lax.switch(perm[i], branches, cur)
+
+            clip = jax.lax.fori_loop(0, len(ops), _apply, clip)
 
     return (clip - 0.5) / 0.5
 

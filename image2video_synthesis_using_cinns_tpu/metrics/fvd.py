@@ -72,11 +72,17 @@ def _resize224(videos: jax.Array) -> jax.Array:
     return flat.reshape((b, t, 224, 224, videos.shape[-1]))
 
 
-def _activation_fn(model: I3DModel):
+def _activation_fn(model: I3DModel, input_range: tuple[float, float]):
+    lo, hi = float(input_range[0]), float(input_range[1])
+
     @jax.jit
     def run(variables, batch):
         x = _resize224(batch)
-        x = jnp.where(jnp.min(x) < 0, (x + 1.0) / 2.0, x)  # denorm if [-1,1]
+        # Denorm per the *declared* input range — never per batch content.
+        # (The reference denorms unconditionally per declared range,
+        # metrics/PyTorch_FVD/FVD_logging.py:190-203; a data-dependent
+        # `min(x) < 0` check would make activations depend on batch sign.)
+        x = (x - lo) / (hi - lo)
         out = model.module.apply(variables, x)
         if model.kind == "kinetics":
             return out[1]  # logits
@@ -85,9 +91,15 @@ def _activation_fn(model: I3DModel):
     return run
 
 
-def get_activations(model: I3DModel, videos, batch_size: int) -> np.ndarray:
-    """videos: (N, T, H, W, 3) channels-last float array (any device)."""
-    run = _activation_fn(model)
+def get_activations(
+    model: I3DModel,
+    videos,
+    batch_size: int,
+    input_range: tuple[float, float] = (-1.0, 1.0),
+) -> np.ndarray:
+    """videos: (N, T, H, W, 3) channels-last float array (any device), with
+    values in the declared ``input_range`` (default [-1,1])."""
+    run = _activation_fn(model, input_range)
     n = videos.shape[0]
     bs = min(batch_size, n)
     n_batches = n // bs
@@ -107,16 +119,23 @@ def _prep_dt(videos, length: int):
     return videos
 
 
-def calculate_FVD(model: I3DModel, data_gen, data_orig, batch_size: int) -> float:
-    """Channels-last videos (N,T,H,W,3) in [-1,1] (or [0,1])."""
+def calculate_FVD(
+    model: I3DModel,
+    data_gen,
+    data_orig,
+    batch_size: int,
+    input_range: tuple[float, float] = (-1.0, 1.0),
+) -> float:
+    """Channels-last videos (N,T,H,W,3) in the declared ``input_range``
+    (default [-1,1]); pass (0,1) for already-denormed data."""
     data_gen = np.asarray(data_gen)
     data_orig = np.asarray(data_orig)
     if model.kind == "dt16":
         data_gen, data_orig = _prep_dt(data_gen, 16), _prep_dt(data_orig, 16)
     elif model.kind == "dt32":
         data_gen, data_orig = _prep_dt(data_gen, 32), _prep_dt(data_orig, 32)
-    act1 = get_activations(model, data_gen, batch_size)
-    act2 = get_activations(model, data_orig, batch_size)
+    act1 = get_activations(model, data_gen, batch_size, input_range)
+    act2 = get_activations(model, data_orig, batch_size, input_range)
     return frechet_from_activations(act1, act2)
 
 

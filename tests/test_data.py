@@ -166,6 +166,62 @@ def test_augment_random_crop_shape():
     assert out.shape == (2, 3, 16, 16, 3)
 
 
+def test_augment_random_crop_offsets_decorrelated():
+    # Regression: y0/x0 used to be drawn from the SAME key, so every crop had
+    # y0 == x0 (only the 17 diagonal positions out of 17x17 were reachable).
+    # Encode pixel coordinates in the image so the crop offset is readable
+    # from the output: channel0 = 7*y, channel1 = 7*x on a 32x32 canvas
+    # (img_size=16 -> resize target 32 is identity for 32x32 input).
+    aug = build_augment(16, {"prob_hflip": 0.0}, True, True)
+    n = 1200
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[..., 0] = (7 * yy).astype(np.uint8)
+    img[..., 1] = (7 * xx).astype(np.uint8)
+    batch = np.broadcast_to(img, (n, 1, 32, 32, 3))
+    out = np.asarray(aug(jnp.asarray(batch), jax.random.PRNGKey(3)))
+    vals = (out[:, 0, 0, 0, :2] * 0.5 + 0.5) * 255.0  # top-left pixel, (y,x) chans
+    offs = np.round(vals / 7.0).astype(int)
+    y0, x0 = offs[:, 0], offs[:, 1]
+    assert set(np.unique(y0)) == set(range(17))
+    assert set(np.unique(x0)) == set(range(17))
+    # decorrelated: off-diagonal pairs dominate and most of the 17x17 grid is hit
+    assert np.mean(y0 != x0) > 0.8
+    assert len({(a, b) for a, b in zip(y0, x0)}) > 150  # bug gives <= 17
+
+
+def test_augment_color_jitter_random_order():
+    # torchvision/kornia ColorJitter applies the enabled adjustments in a
+    # random permutation per call (reference data/augmentation.py:12-13).
+    # With brightness+contrast enabled, reconstruct both candidate orders from
+    # the clip's key and check both occur across clips.
+    from image2video_synthesis_using_cinns_tpu.data import augment as A
+
+    params = {"brightness": 0.8, "contrast": 0.8, "prob_hflip": 0.0}
+    aug = build_augment(16, params, False, True)
+    n = 120
+    raw = np.random.default_rng(7).integers(40, 200, (n, 1, 16, 16, 3), dtype=np.uint8)
+    out = np.asarray(aug(jnp.asarray(raw), jax.random.PRNGKey(11)))
+    keys = jax.random.split(jax.random.PRNGKey(11), n)
+    counts = {"bc": 0, "cb": 0}
+    for i in range(n):
+        ks = jax.random.split(keys[i], 8)
+        k_b, k_c = ks[3], ks[4]
+        fb = jax.random.uniform(k_b, (), minval=0.2, maxval=1.8)
+        fc = jax.random.uniform(k_c, (), minval=0.2, maxval=1.8)
+        x = jnp.asarray(raw[i].astype(np.float32) / 255.0)
+        bc = np.asarray((A._adjust_contrast(A._adjust_brightness(x, fb), fc) - 0.5) / 0.5)
+        cb = np.asarray((A._adjust_brightness(A._adjust_contrast(x, fc), fb) - 0.5) / 0.5)
+        d_bc = np.abs(out[i] - bc).max()
+        d_cb = np.abs(out[i] - cb).max()
+        assert min(d_bc, d_cb) < 1e-5, "output matches neither application order"
+        if d_bc < d_cb:
+            counts["bc"] += 1
+        else:
+            counts["cb"] += 1
+    assert counts["bc"] > n * 0.25 and counts["cb"] > n * 0.25, counts
+
+
 def test_iper_indexer_oversampling(tmp_path):
     import image2video_synthesis_using_cinns_tpu.data.datasets as D
 

@@ -56,6 +56,19 @@ def test_dtfvd_time_tiling(rng):
     assert np.isfinite(score)
 
 
+def test_activations_invariant_to_batch_sign(kin_model, rng):
+    # Denorm follows the *declared* input_range, not batch content: an
+    # all-nonnegative batch in [-1,1] must be preprocessed exactly like any
+    # other [-1,1] batch (reference denorms unconditionally,
+    # metrics/PyTorch_FVD/FVD_logging.py:190-203).
+    pos = rng.uniform(0.0, 1.0, (2, 16, 32, 32, 3)).astype(np.float32)
+    act_declared = fvd_mod.get_activations(kin_model, pos, 2, input_range=(-1.0, 1.0))
+    act_manual = fvd_mod.get_activations(
+        kin_model, (pos + 1.0) / 2.0, 2, input_range=(0.0, 1.0)
+    )
+    np.testing.assert_allclose(act_declared, act_manual, atol=1e-5)
+
+
 def test_official_protocol_grouping(kin_model, rng, monkeypatch):
     monkeypatch.setattr(fvd_mod, "load_model", lambda *a, **k: kin_model)
     # grouped tensors (G, 16, T, C, H, W) like eval_synthesis_quality builds
