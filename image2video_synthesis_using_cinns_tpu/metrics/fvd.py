@@ -46,10 +46,10 @@ def load_model(kind: str = "kinetics", weights_root: str = "models") -> I3DModel
         module = I3D(num_classes=400, head="logits")
         path = os.path.join(weights_root, "PI3D", "model_rgb.msgpack")
     elif kind == "dt16":
-        module = I3D(num_classes=18, head="representation", avg_pool_t=2)
+        module = I3D(num_classes=18, head="representation", avg_pool_t=2, bn_eps=1e-5)
         path = os.path.join(weights_root, "DTI3D", "length16", "I3D_16.msgpack")
     elif kind == "dt32":
-        module = I3D(num_classes=18, head="representation", avg_pool_t=4)
+        module = I3D(num_classes=18, head="representation", avg_pool_t=4, bn_eps=1e-5)
         path = os.path.join(weights_root, "DTI3D", "length32", "I3D_32.msgpack")
     else:
         raise ValueError(kind)

@@ -10,8 +10,11 @@ One flax implementation covers both reference metric backbones:
 
 Same trunk, TF-SAME padding. Because jit shapes are static, TF-SAME padding is
 computed at trace time (the reference needs runtime pad selection because
-torch lacks SAME). BatchNorm uses stored (converted) running stats with
-eps=1e-3 — the nets are always frozen. Videos are channels-last
+torch lacks SAME). BatchNorm uses stored (converted) running stats — the nets
+are always frozen. BN eps differs between the two reference ports: the
+kinetics net uses the TF-style 1e-3 (``PyTorch_FVD/I3D.py:114``) while the DT
+nets use torch's default 1e-5 (``DTFVD/ID3.py:81`` plain ``nn.BatchNorm3d``) —
+``bn_eps`` selects it. Videos are channels-last
 (B, T, 224, 224, 3) scaled to the reference's expected range ([0,1] for the
 kinetics net — ``FVD_logging.py:190-203`` denorms [-1,1] inputs).
 """
@@ -45,7 +48,7 @@ def tf_same_pad(x: jax.Array, kernel: Sequence[int], stride: Sequence[int]) -> j
 
 
 class Unit3D(nn.Module):
-    """conv3d (SAME) → frozen BN(eps=1e-3) → relu."""
+    """conv3d (SAME) → frozen BN → relu."""
 
     features: int
     kernel: Sequence[int] = (1, 1, 1)
@@ -53,6 +56,7 @@ class Unit3D(nn.Module):
     use_bn: bool = True
     use_bias: bool = False
     activation: bool = True
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -66,7 +70,7 @@ class Unit3D(nn.Module):
             var = self.param("bn_var", nn.initializers.ones, (self.features,))
             scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
             bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
-            x = (x - mean) * jax.lax.rsqrt(var + 1e-3) * scale + bias
+            x = (x - mean) * jax.lax.rsqrt(var + self.bn_eps) * scale + bias
         if self.activation:
             x = nn.relu(x)
         return x
@@ -82,17 +86,19 @@ def max_pool_same(x: jax.Array, kernel: Sequence[int], stride: Sequence[int]) ->
 
 class Mixed(nn.Module):
     out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = self.out_channels
-        b0 = Unit3D(c[0], name="branch_0")(x)
-        b1 = Unit3D(c[1], name="branch_1a")(x)
-        b1 = Unit3D(c[2], kernel=(3, 3, 3), name="branch_1b")(b1)
-        b2 = Unit3D(c[3], name="branch_2a")(x)
-        b2 = Unit3D(c[4], kernel=(3, 3, 3), name="branch_2b")(b2)
+        e = self.bn_eps
+        b0 = Unit3D(c[0], bn_eps=e, name="branch_0")(x)
+        b1 = Unit3D(c[1], bn_eps=e, name="branch_1a")(x)
+        b1 = Unit3D(c[2], kernel=(3, 3, 3), bn_eps=e, name="branch_1b")(b1)
+        b2 = Unit3D(c[3], bn_eps=e, name="branch_2a")(x)
+        b2 = Unit3D(c[4], kernel=(3, 3, 3), bn_eps=e, name="branch_2b")(b2)
         b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(c[5], name="branch_3")(b3)
+        b3 = Unit3D(c[5], bn_eps=e, name="branch_3")(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -120,22 +126,25 @@ class I3D(nn.Module):
     num_classes: int = 400
     head: str = "logits"  # 'logits' | 'representation'
     avg_pool_t: int = 2
+    bn_eps: float = 1e-3  # 1e-3 kinetics port, 1e-5 DT ports
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2), name="conv3d_1a_7x7")(x)
+        e = self.bn_eps
+        x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2), bn_eps=e,
+                   name="conv3d_1a_7x7")(x)
         x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
-        x = Unit3D(64, name="conv3d_2b_1x1")(x)
-        x = Unit3D(192, kernel=(3, 3, 3), name="conv3d_2c_3x3")(x)
+        x = Unit3D(64, bn_eps=e, name="conv3d_2b_1x1")(x)
+        x = Unit3D(192, kernel=(3, 3, 3), bn_eps=e, name="conv3d_2c_3x3")(x)
         x = max_pool_same(x, (1, 3, 3), (1, 2, 2))
-        x = Mixed(MIXED_CFG["mixed_3b"], name="mixed_3b")(x)
-        x = Mixed(MIXED_CFG["mixed_3c"], name="mixed_3c")(x)
+        x = Mixed(MIXED_CFG["mixed_3b"], bn_eps=e, name="mixed_3b")(x)
+        x = Mixed(MIXED_CFG["mixed_3c"], bn_eps=e, name="mixed_3c")(x)
         x = max_pool_same(x, (3, 3, 3), (2, 2, 2))
         for name in ("mixed_4b", "mixed_4c", "mixed_4d", "mixed_4e", "mixed_4f"):
-            x = Mixed(MIXED_CFG[name], name=name)(x)
+            x = Mixed(MIXED_CFG[name], bn_eps=e, name=name)(x)
         x = max_pool_same(x, (2, 2, 2), (2, 2, 2))
-        x = Mixed(MIXED_CFG["mixed_5b"], name="mixed_5b")(x)
-        x = Mixed(MIXED_CFG["mixed_5c"], name="mixed_5c")(x)
+        x = Mixed(MIXED_CFG["mixed_5b"], bn_eps=e, name="mixed_5b")(x)
+        x = Mixed(MIXED_CFG["mixed_5c"], bn_eps=e, name="mixed_5c")(x)
 
         # AvgPool3d((avg_pool_t, 7, 7), stride 1), VALID
         x = jax.lax.reduce_window(

@@ -346,6 +346,63 @@ def test_i3d_kinetics_parity():
     np.testing.assert_allclose(np.asarray(logits), to_np(ref_logits), rtol=1e-3, atol=1e-3)
 
 
+def _randomize_bn_stats(tmodel, seed):
+    """Perturb BN running stats + affine params so converted-stat handling
+    (and the BN eps) actually matter — at torch init var=1/mean=0 hides both."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, buf in tmodel.named_buffers():
+            if name.endswith("running_var"):
+                buf.uniform_(0.05, 1.5, generator=g)
+            elif name.endswith("running_mean"):
+                buf.normal_(0.0, 0.5, generator=g)
+        for name, p in tmodel.named_parameters():
+            if ".bn." in name or name.endswith("bn.weight") or name.endswith("bn.bias"):
+                p.uniform_(-1.0, 1.0, generator=g)
+
+
+def _dt_i3d_parity(ref_module, avg_pool_t, t_frames, seed):
+    """DTFVD is the paper's headline metric; pin the piergiaj DT-I3D trunk
+    (reference metrics/DTFVD/ID3.py / ID3_32.py) against our flax port via
+    the converter, on the 1024-d get_representation features."""
+    from image2video_synthesis_using_cinns_tpu.models.backbones.i3d import I3D
+
+    torch.manual_seed(seed)
+    tmodel = ref_module.InceptionI3D(18, 1).eval()  # like DTFVD_Score.py:227,231
+    _randomize_bn_stats(tmodel, seed + 1)
+
+    rng = np.random.default_rng(seed + 2)
+    x = rng.uniform(0, 1, (1, 3, t_frames, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref_feat = to_np(tmodel.get_representation(torch.from_numpy(x)))
+    ref_feat = ref_feat.reshape(1, -1)  # (B,1024,T'=1) → (B,1024) like DTFVD_Score.py:138
+
+    jmodel = I3D(num_classes=18, head="representation", avg_pool_t=avg_pool_t,
+                 bn_eps=1e-5)
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl))
+    converted = C.convert_i3d_dt(sd_np(tmodel))
+    # the representation head never instantiates the (unused) logits conv
+    converted["params"].pop("conv3d_0c_1x1")
+    variables, _ = C.merge_into_template(template, converted)
+    feat = jax.jit(jmodel.apply)(variables, jnp.asarray(x_cl))
+    np.testing.assert_allclose(np.asarray(feat), ref_feat, **TOL)
+
+
+def test_i3d_dt16_parity():
+    sys.modules.pop("metrics", None)
+    from metrics.DTFVD import ID3
+
+    _dt_i3d_parity(ID3, avg_pool_t=2, t_frames=16, seed=515)
+
+
+def test_i3d_dt32_parity():
+    sys.modules.pop("metrics", None)
+    from metrics.DTFVD import ID3_32
+
+    _dt_i3d_parity(ID3_32, avg_pool_t=4, t_frames=32, seed=516)
+
+
 def test_flow_actnorm_lazy_init_parity():
     """The reference's ActNorms initialise lazily on the first batch, block by
     block (each block's stats depend on upstream freshly-initialised blocks).
