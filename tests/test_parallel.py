@@ -109,6 +109,70 @@ def test_tp_sharded_flow_matches_replicated():
     assert "model" in str(w1n.sharding.spec)
 
 
+def test_stage1_dp_step_matches_single_device():
+    """The full three-optimiser adversarial step (GP double-grad, pretrain
+    gating, spectral refresh) under batch sharding must match a single-device
+    run — the riskiest program under DP (reference behaviour guarded:
+    stage1_VAE/modules/loss.py:94-151)."""
+    from image2video_synthesis_using_cinns_tpu.testing import PRESETS, stage1_config
+    from image2video_synthesis_using_cinns_tpu.train.stage1 import build_stage1
+    from image2video_synthesis_using_cinns_tpu.train.stage1_step import (
+        Stage1State,
+        make_stage1_train_step,
+    )
+
+    P = PRESETS["tiny"]
+    opt = stage1_config(P)
+    tr = opt.Training
+    bundle, dec_vars, enc_vars, dt_vars, ds_vars = build_stage1(
+        opt, jax.random.PRNGKey(0)
+    )
+    # SGD (not the trainer's Adam) so param deltas are proportional to the
+    # gradients — Adam's g/sqrt(g^2) normalisation turns reduction-order fp
+    # noise on mathematically-zero gradients into full +-lr sign flips, which
+    # would mask exactly the collective bugs this test exists to catch.
+    opts = (optax.sgd(tr["lr"]),) * 3
+
+    def fresh_state():
+        return Stage1State(
+            jax.tree.map(jnp.array, dec_vars),
+            jax.tree.map(jnp.array, enc_vars),
+            jax.tree.map(jnp.array, dt_vars),
+            jax.tree.map(jnp.array, ds_vars),
+            opts[0].init((dec_vars["params"], enc_vars["params"])),
+            opts[1].init(dt_vars["params"]),
+            opts[2].init(ds_vars["params"]),
+        )
+
+    step = make_stage1_train_step(bundle, tr, opts)
+    B, T, img = 8, P["seq_length"], P["img_size"]
+    seq = jax.random.uniform(jax.random.PRNGKey(5), (B, T, img, img, 3), minval=-1, maxval=1)
+    epoch = jnp.int32(tr["pretrain"])  # gate open: all three updates fire
+    rng = jax.random.PRNGKey(7)
+
+    new_single, m_single, _ = step(fresh_state(), seq, epoch, rng)
+
+    mesh = make_mesh(8)
+    state_r = Stage1State(*[replicate(mesh, x) for x in fresh_state()])
+    seq_s = shard_batch(mesh, {"seq": seq})["seq"]
+    new_dp, m_dp, _ = step(state_r, seq_s, epoch, rng)
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_dp[k]), rtol=2e-4, atol=2e-4, err_msg=k
+        )
+    for part in ("dec_vars", "enc_vars", "disc_t_vars", "disc_s_vars"):
+        a_tree = getattr(new_single, part)
+        b_tree = getattr(new_dp, part)
+        # rtol 3e-3: the patch-disc ActNorm data-dependent init computes
+        # 1/std from batch stats, amplifying sharded-reduction fp noise;
+        # real DP bugs (per-shard stats / missing all-reduce) are >>10x this.
+        for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-3, atol=1e-4, err_msg=part
+            )
+
+
 def test_pad_to_multiple():
     batch = {"x": jnp.ones((5, 3))}
     padded, true_b = pad_to_multiple(batch, 4)
