@@ -34,6 +34,7 @@ def main():
 
     from image2video_synthesis_using_cinns_tpu.data import get_eval_loader
     from image2video_synthesis_using_cinns_tpu.data.augment import build_augment
+    from image2video_synthesis_using_cinns_tpu.data.framestore import open_or_build
     from image2video_synthesis_using_cinns_tpu.data.loader import Loader
     from image2video_synthesis_using_cinns_tpu.models.facade import Model
     from image2video_synthesis_using_cinns_tpu.utils.seed import set_seed
@@ -46,7 +47,9 @@ def main():
     img_size = model.config.Data["img_size"]
 
     dataset = get_eval_loader(args.dataset, args.seq_length + 1, args.data_path, model.config)
-    loader = Loader(dataset, args.bs, shuffle=False, drop_last=False, workers=10)
+    fs = open_or_build(dataset, model.config.Data.get("framestore", "off"), "test")
+    loader = Loader(dataset, args.bs, shuffle=False, drop_last=False, workers=10,
+                    framestore=fs)
     aug = build_augment(img_size, None, False, False)
 
     seq_real, seq_fake = [], []

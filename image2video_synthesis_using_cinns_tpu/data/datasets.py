@@ -49,6 +49,12 @@ class VideoDataset:
     def frame_path(self, video, frame: int) -> str:
         raise NotImplementedError
 
+    def video_of(self, idx: int) -> int:
+        """Position in ``self.videos`` backing dataset index ``idx`` (identity
+        except for fixed-length eval wrappers). Used by the framestore to map
+        sampler indices onto packed videos."""
+        return idx
+
     def _start(self, idx: int, rng: np.random.Generator) -> int:
         n = self.num_frames[idx]
         if self.deterministic_start:
@@ -148,6 +154,9 @@ class IperEvaluation(VideoDataset):
 
     def frame_path(self, video, frame):
         return os.path.join(self.data_path, video, f"frame_{int(frame)}.png")
+
+    def video_of(self, idx):
+        return idx % self.num_videos
 
     def sample(self, idx, rng):
         true_idx = idx % self.num_videos

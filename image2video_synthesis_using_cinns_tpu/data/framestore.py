@@ -122,38 +122,113 @@ class FrameStore:
     @classmethod
     def build(cls, dataset, path: str, imread=None) -> "FrameStore":
         """Decode every frame of ``dataset`` (a datasets.VideoDataset) once
-        into a packed file. Videos keep the dataset's index order."""
+        into a packed file. Repeated entries in ``dataset.videos`` (the
+        iPER/landscape/DTDB oversampling repeats) are packed once; a
+        ``video_map`` in the sidecar json maps every sampler index to its
+        packed video."""
         from .loader import _imread_rgb
 
         imread = imread or _imread_rgb
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
-        counts = []
-        first = imread(dataset.frame_path(dataset.videos[0], _first_frame(dataset)))
-        h, w, c = first.shape
+        uniq: dict = {}
+        packed = []  # (video, n_frames) each packed exactly once
+        for v, n in zip(dataset.videos, dataset.num_frames):
+            key = str(v)
+            if key not in uniq:
+                uniq[key] = len(packed)
+                packed.append((v, int(n)))
+        video_map = {
+            str(i): uniq[str(dataset.videos[dataset.video_of(i)])]
+            for i in range(len(dataset))
+        }
 
+        first = imread(dataset.frame_path(packed[0][0], 0))
+        h, w, c = first.shape
+        counts = []
         with open(path, "wb") as f:
             f.write(MAGIC)
-            n = len(dataset.videos)
-            f.write(struct.pack("<q", n))
+            f.write(struct.pack("<q", len(packed)))
             f.write(struct.pack("<iii", h, w, c))
             f.write(b"\x00" * 4)
             # placeholder offsets, rewritten at the end
-            f.write(np.zeros(n + 1, np.int64).tobytes())
-            for vi, video in enumerate(dataset.videos):
-                nf = dataset.num_frames[vi]
+            f.write(np.zeros(len(packed) + 1, np.int64).tobytes())
+            for video, nf in packed:
                 counts.append(nf)
                 for k in range(nf):
-                    frame = imread(dataset.frame_path(video, _first_frame(dataset) + k))
+                    frame = imread(dataset.frame_path(video, k))
                     assert frame.shape == (h, w, c)
                     f.write(np.ascontiguousarray(frame, np.uint8).tobytes())
             offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
             f.seek(32)
             f.write(offsets.tobytes())
         with open(path + ".json", "w") as f:
-            json.dump({"n_videos": len(counts), "height": h, "width": w}, f)
+            json.dump(
+                {
+                    "n_videos": len(counts),
+                    "height": h,
+                    "width": w,
+                    "video_map": video_map,
+                    "fingerprint": dataset_fingerprint(dataset),
+                },
+                f,
+            )
         return cls(path)
 
 
-def _first_frame(dataset) -> int:
-    return 0
+def dataset_fingerprint(dataset) -> str:
+    """Identity of the packed content: the (video, frame-count) sequence. A
+    cached store is reused only when this matches, so dataset edits or a
+    different mode/split trigger a rebuild."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for v, n in zip(dataset.videos, dataset.num_frames):
+        h.update(str(v).encode())
+        h.update(struct.pack("<q", int(n)))
+    h.update(struct.pack("<q", len(dataset)))
+    return h.hexdigest()[:16]
+
+
+def open_or_build(dataset, spec, mode: str = "train", imread=None):
+    """Resolve a ``Data.framestore`` config value into a FrameStore (or None).
+
+    ``spec``: falsy / ``off`` → None (decode images per epoch, the reference
+    behaviour — ``data/dataloader_bair.py:40-47`` decodes with cv2 inside
+    every ``__getitem__``); ``auto`` → packed cache under
+    ``<data_path>/.framestore/`` (override dir with ``$I2V_FRAMESTORE_DIR``),
+    built on first use; any other string → explicit store file path.
+
+    A cached file is reused only if its fingerprint matches the dataset. In
+    ``auto`` mode build failures (e.g. read-only data dir) degrade to None
+    with a warning instead of aborting training.
+    """
+    if spec is None or str(spec).strip().lower() in ("", "off", "false", "none", "0"):
+        return None
+    s = str(spec).strip()
+    auto = s.lower() == "auto"
+    if auto:
+        base = os.environ.get("I2V_FRAMESTORE_DIR") or os.path.join(
+            str(getattr(dataset, "data_path", ".")), ".framestore"
+        )
+        path = os.path.join(base, f"{type(dataset).__name__}_{mode}.fst")
+    else:
+        path = s
+    fp = dataset_fingerprint(dataset)
+    if os.path.exists(path) and os.path.exists(path + ".json"):
+        try:
+            with open(path + ".json") as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") == fp:
+                return FrameStore(path)
+        except (OSError, ValueError):
+            pass  # corrupt sidecar → rebuild
+    try:
+        return FrameStore.build(dataset, path, imread)
+    except OSError as e:
+        if auto:
+            import warnings
+
+            warnings.warn(f"framestore build failed ({e}); decoding per epoch")
+            return None
+        raise

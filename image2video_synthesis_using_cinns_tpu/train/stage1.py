@@ -24,6 +24,7 @@ import numpy as np
 from .. import config as cfg
 from ..data import get_loader
 from ..data.augment import build_augment
+from ..data.framestore import open_or_build
 from ..data.loader import Loader
 from ..data.registry import augment_params
 from ..models.backbones.lpips import LPIPS
@@ -103,8 +104,15 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
     DatasetCls = get_loader(opt.Data["dataset"])
     train_ds = DatasetCls(opt, mode="train")
     eval_ds = DatasetCls(opt, mode="eval")
-    train_loader = Loader(train_ds, tr["bs"], workers=tr["workers"], seed=42)
-    eval_loader = Loader(eval_ds, tr["bs_eval"], workers=tr["workers"], seed=43)
+    fs_spec = opt.Data.get("framestore", "off")
+    train_loader = Loader(
+        train_ds, tr["bs"], workers=tr["workers"], seed=42,
+        framestore=open_or_build(train_ds, fs_spec, "train"),
+    )
+    eval_loader = Loader(
+        eval_ds, tr["bs_eval"], workers=tr["workers"], seed=43,
+        framestore=open_or_build(eval_ds, fs_spec, "eval"),
+    )
     aug_p, rcrop, _ = augment_params(opt, "train")
     aug_train = build_augment(opt.Data["img_size"], aug_p, rcrop, True)
     aug_eval = build_augment(opt.Data["img_size"], aug_p, rcrop, False)

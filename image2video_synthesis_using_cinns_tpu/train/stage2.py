@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from .. import config as cfg
 from ..data import get_loader
 from ..data.augment import build_augment
+from ..data.framestore import open_or_build
 from ..data.loader import Loader
 from ..data.registry import augment_params
 from ..losses.flow_loss import flow_loss
@@ -147,8 +148,17 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
     DatasetCls = get_loader(opt.Data["dataset"], control=control)
     train_ds = DatasetCls(opt, mode="train")
     eval_ds = DatasetCls(opt, mode="eval")
-    train_loader = Loader(train_ds, opt.Training["bs"], workers=opt.Training["workers"], drop_last=False, seed=42)
-    eval_loader = Loader(eval_ds, opt.Training["bs_eval"], workers=opt.Training["workers"], drop_last=False, seed=43)
+    fs_spec = opt.Data.get("framestore", "off")
+    train_loader = Loader(
+        train_ds, opt.Training["bs"], workers=opt.Training["workers"],
+        drop_last=False, seed=42,
+        framestore=open_or_build(train_ds, fs_spec, "train"),
+    )
+    eval_loader = Loader(
+        eval_ds, opt.Training["bs_eval"], workers=opt.Training["workers"],
+        drop_last=False, seed=43,
+        framestore=open_or_build(eval_ds, fs_spec, "eval"),
+    )
     params_aug, random_crop, _ = augment_params(opt, "train")
     aug_train = build_augment(opt.Data["img_size"], params_aug, random_crop, True)
     aug_eval = build_augment(opt.Data["img_size"], params_aug, random_crop, False)

@@ -81,7 +81,11 @@ for tex, knobs in DTDB_TEXTURES.items():
 
 def data_section(d: dict, aug: dict, seq_len: int = 17, extra: dict | None = None):
     out = {"sequence_length": seq_len, **d, "aug": True,
-           "data_path": "INSERT_DATA_PATH_HERE", "Augmentation": dict(aug)}
+           "data_path": "INSERT_DATA_PATH_HERE",
+           # off | auto | <path>: packed uint8 frame cache (data/framestore.py)
+           # replacing per-epoch image decoding in the input pipeline
+           "framestore": "off",
+           "Augmentation": dict(aug)}
     if extra:
         out.update(extra)
     return out

@@ -33,12 +33,14 @@ def test_stage1_training_smoke(tmp_path, data_dir):
 
     opt = stage1_config(P)
     opt.Data["data_path"] = data_dir
+    opt.Data["framestore"] = "auto"  # exercise the packed-cache input path
     opt.Training["bs"] = 2
     opt.Training["bs_eval"] = 2
     opt.Training["workers"] = 2
     opt.Training["n_epochs"] = 1
     opt.Training["save_path"] = str(tmp_path)
     out = main(opt, max_steps=2, eval_fvd=False)
+    assert os.path.exists(os.path.join(data_dir, ".framestore"))
 
     save_path = out["save_path"]
     assert os.path.exists(os.path.join(save_path, "config_stage1.yaml"))

@@ -31,6 +31,7 @@ def main():
 
     from image2video_synthesis_using_cinns_tpu.data import get_eval_loader
     from image2video_synthesis_using_cinns_tpu.data.augment import build_augment
+    from image2video_synthesis_using_cinns_tpu.data.framestore import open_or_build
     from image2video_synthesis_using_cinns_tpu.data.loader import Loader
     from image2video_synthesis_using_cinns_tpu.models.facade import Model
     from image2video_synthesis_using_cinns_tpu.utils import video as vid
@@ -42,7 +43,9 @@ def main():
     dataset = get_eval_loader(
         args.dataset, args.seq_length + 1, args.data_path, model.config, control=True
     )
-    loader = Loader(dataset, args.bs, shuffle=False, drop_last=False, workers=10)
+    fs = open_or_build(dataset, model.config.Data.get("framestore", "off"), "test")
+    loader = Loader(dataset, args.bs, shuffle=False, drop_last=False, workers=10,
+                    framestore=fs)
     aug = build_augment(img_size, None, False, False)
 
     import jax
