@@ -48,7 +48,7 @@ def evaluate_FVD_posterior(loader, aug, bundle, state, mode: str = "FVD",
 def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
                        z_dim: int, opt, epoch: int, mode: str = "FVD",
                        control: bool = False, batch_size: int = 20,
-                       max_batches=None) -> float:
+                       max_batches=None, wandb_sink=None) -> float:
     model = fvd_mod.load_model("kinetics" if mode == "FVD" else "dt16")
 
     @jax.jit
@@ -75,7 +75,7 @@ def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
         from ..utils.video import plot_vid
 
         sel = np.random.randint(0, gen.shape[0], min(10, gen.shape[0]))
-        plot_vid(
+        gif = plot_vid(
             opt,
             [
                 np.transpose(gen[sel], (0, 1, 4, 2, 3)),
@@ -84,6 +84,9 @@ def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
             epoch,
             mode="eval",
         )
+        if wandb_sink is not None:
+            # reference pushes the sampled clips too (utils/auxiliaries.py:108)
+            wandb_sink.log_video("eval_video", gif)
     except Exception:
         pass
 

@@ -252,13 +252,23 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
         # ---------------- validate ----------------
         log_test.reset()
+        sequences_eval = None
         for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
             key = jax.random.fold_in(root_key, 20_000_000 + epoch * 10_000 + i)
             seq = prep(batch, False, key)
             metrics, seq_gen = eval_fn(state.dec_vars, state.enc_vars, seq, key)
             log_test.append({k: float(v) for k, v in metrics.items()})
+            sequences_eval = [
+                np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
+                np.transpose(np.asarray(seq[:, 1:]), (0, 1, 4, 2, 3)),
+            ]
             if max_steps and i >= 1:
                 break
+
+        if sequences_eval is not None:
+            # reference logs the eval recon video too (stage1_VAE/main.py:82-83)
+            gif = plot_vid(opt, sequences_eval, epoch, mode="eval")
+            wandb_sink.log_video("eval_video", gif)
 
         # ---------------- FVD(posterior) ----------------
         PFVD = float("nan")

@@ -307,6 +307,7 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
                     {"params": {"flow": flow_params, "embedder": frozen}, "buffers": buffers},
                     generator, gen_vars, config1.Decoder["z_dim"], opt, epoch,
                     config1.Training.get("FVD", "FVD"), control,
+                    wandb_sink=wandb_sink,
                 )
                 wandb_sink.log({"FVD": PFVD})
             except FileNotFoundError:

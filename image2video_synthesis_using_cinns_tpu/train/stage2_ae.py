@@ -315,7 +315,9 @@ def main(opt, max_steps: int | None = None):
         set_lr(opt_d_state, scheds[1].step(loss_recon))
 
         if last_recon is not None:
-            _save_recon_grid(last_recon, save_path, epoch, "train")
+            grid = _save_recon_grid(last_recon, save_path, epoch, "train")
+            # reference pushes the recon grid to wandb too (AE/main.py:40-43)
+            wandb_sink.log_image("images_train", grid, caption="Reconstructions")
 
         logger_eval.reset()
         for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
@@ -361,13 +363,14 @@ def _extract_encoder(gen_vars) -> dict:
     return out
 
 
-def _save_recon_grid(pair, save_path: str, epoch: int, mode: str) -> None:
+def _save_recon_grid(pair, save_path: str, epoch: int, mode: str) -> np.ndarray:
     import imageio
 
     img, recon = pair
     grid = np.concatenate([img, recon], axis=1)  # stack input above recon
     grid = np.clip((np.concatenate(list(grid), axis=1) + 1) / 2, 0, 1)
+    grid = (grid * 255).astype(np.uint8)
     imageio.imwrite(
-        os.path.join(save_path, "images", f"{epoch}_{mode}_recon.jpg"),
-        (grid * 255).astype(np.uint8),
+        os.path.join(save_path, "images", f"{epoch}_{mode}_recon.jpg"), grid
     )
+    return grid

@@ -96,3 +96,14 @@ class WandbSink:
                 self._run.log({key: wandb.Video(frames, fps=fps, format="gif")})
             except Exception:
                 pass
+
+    def log_image(self, key: str, image, caption: str | None = None) -> None:
+        """image: (H, W, C) uint8 — the reference pushes recon grids via
+        wandb.Image (stage2_cINN/AE/main.py:40-43)."""
+        if self.enabled and self._run is not None:
+            try:
+                import wandb
+
+                self._run.log({key: [wandb.Image(image, caption=caption)]})
+            except Exception:
+                pass

@@ -46,13 +46,21 @@ def test_bigae_roundtrip():
     assert np.isfinite(float(kl))
 
 
-def test_ae_training_smoke(tmp_path):
+def test_ae_training_smoke(tmp_path, monkeypatch):
     from image2video_synthesis_using_cinns_tpu.testing import (
         PRESETS,
         make_bair_data_dir,
         stage2_ae_config,
     )
     from image2video_synthesis_using_cinns_tpu.train.stage2_ae import main
+    from image2video_synthesis_using_cinns_tpu.utils.logging import WandbSink
+
+    # stub sink: the recon-grid push (reference AE/main.py:40-43) stays wired
+    images = []
+    monkeypatch.setattr(
+        WandbSink, "log_image",
+        lambda self, key, image, caption=None: images.append((key, image.shape)),
+    )
 
     P = dict(PRESETS["tiny"])
     data_dir = make_bair_data_dir(str(tmp_path / "data") + "/", img=64)
@@ -72,6 +80,7 @@ def test_ae_training_smoke(tmp_path):
     assert os.path.exists(os.path.join(out["save_path"], "config_stage2_AE.yaml"))
     assert os.path.exists(os.path.join(out["save_path"], "Encoder_stage2.msgpack"))
     assert np.isfinite(out["train_loss"]).all()
+    assert images and images[0][0] == "images_train"
 
 
 def test_biggan_actnorm_variant():

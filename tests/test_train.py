@@ -28,8 +28,16 @@ def data_dir(tmp_path_factory):
     return make_bair_data_dir(str(root) + "/", img=P["img_size"])
 
 
-def test_stage1_training_smoke(tmp_path, data_dir):
+def test_stage1_training_smoke(tmp_path, data_dir, monkeypatch):
     from image2video_synthesis_using_cinns_tpu.train.stage1 import main
+    from image2video_synthesis_using_cinns_tpu.utils.logging import WandbSink
+
+    # stub sink: record media pushes even with wandb disabled, so the media
+    # call points (reference stage1_VAE/main.py:49,83) stay wired
+    videos = []
+    monkeypatch.setattr(
+        WandbSink, "log_video", lambda self, key, frames, fps=3: videos.append(key)
+    )
 
     opt = stage1_config(P)
     opt.Data["data_path"] = data_dir
@@ -41,6 +49,7 @@ def test_stage1_training_smoke(tmp_path, data_dir):
     opt.Training["save_path"] = str(tmp_path)
     out = main(opt, max_steps=2, eval_fvd=False)
     assert os.path.exists(os.path.join(data_dir, ".framestore"))
+    assert "train_video" in videos and "eval_video" in videos
 
     save_path = out["save_path"]
     assert os.path.exists(os.path.join(save_path, "config_stage1.yaml"))
