@@ -63,3 +63,35 @@ def test_bf16_facade(control_dir):
     vid = np.asarray(model(x0, cond=cond))
     assert vid.dtype == np.float32
     assert np.isfinite(vid).all() and np.abs(vid).max() <= 1.0
+
+
+def test_embed_pos_matches_reference_formula_at_boundaries():
+    """Pin embed_pos against a verbatim transcription of the reference
+    (stage2_cINN/modules/INN.py:49-57: ``(pos * 10 - 1e-4).long()`` with
+    truncation toward zero), including exact bin boundaries — the reference's
+    own -1e-4 pulls boundary values into the lower bin."""
+    import jax.numpy as jnp
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.inn import (
+        SupervisedTransformer,
+    )
+
+    net = SupervisedTransformer(
+        flow_in_channels=16, flow_embedding_channels=16, flow_mid_channels=32,
+        flow_hidden_depth=2, n_flows=4, control=True,
+    )
+    boundaries = np.array([0.0, 0.1, 0.2, 0.5, 0.9, 1.0])
+    eps = 1e-6
+    vals = np.concatenate([boundaries, boundaries[1:] - eps, boundaries[:-1] + eps])
+    pos = np.stack([vals, vals[::-1], np.full_like(vals, 0.35)], axis=1).astype(np.float32)
+
+    ours = np.asarray(
+        net.apply({}, jnp.asarray(pos), method=SupervisedTransformer.embed_pos)
+    )
+
+    n = 10
+    idx = np.trunc(pos * n - 1e-4).astype(np.int64)  # torch .long(): trunc to 0
+    ref = np.zeros((pos.shape[0], 3 * n), np.float32)
+    for d in range(3):
+        ref[np.arange(pos.shape[0]), d * n + np.clip(idx[:, d], 0, n - 1)] = 1
+    np.testing.assert_array_equal(ours, ref)

@@ -63,3 +63,27 @@ def test_visualize_endpoint_cli(tmp_path, monkeypatch):
     out = tmp_path / "assets" / "results" / "bair_endpoint"
     assert (out / "endpoint_0.gif").exists()
     assert (out / "endpoint_0.png").exists()
+
+
+def test_load_images_preprocessing_matches_torch_bilinear(tmp_path):
+    """generate_samples normalises then resizes, like the reference
+    (generate_samples.py:36-40: ``resize(normalize(img/255))`` via kornia,
+    which wraps F.interpolate bilinear). Pin our cv2 path against torch
+    bilinear on a recorded input so the two stay numerically equal."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    from generate_samples import load_images
+
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    Image.fromarray(raw).save(tmp_path / "a.png")
+
+    ours = load_images(str(tmp_path), img_res=32)  # (1,3,32,32)
+
+    x = torch.from_numpy(raw.astype(np.float32) / 255.0).permute(2, 0, 1)[None]
+    x = (x - 0.5) / 0.5
+    ref = torch.nn.functional.interpolate(
+        x, size=(32, 32), mode="bilinear", align_corners=False
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
