@@ -174,13 +174,16 @@ class SNConv(nn.Module, _SpectralMixin):
             x.shape, kshape, _dim_numbers(ndim_sp)
         )
         dtype = self.dtype or x.dtype
+        # preferred output type follows the compute dtype: the MXU still
+        # accumulates in fp32 internally, and a mixed (bf16 in, f32 out) conv
+        # has no transpose rule, which breaks jax.grad through bf16 forwards
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
             window_strides=strides,
             padding=pad,
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=dtype,
         )
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
@@ -217,7 +220,8 @@ class SNDense(nn.Module, _SpectralMixin):
         kernel = self.param("kernel", kernel_init, (in_features, self.features))
         kernel = self._maybe_spectral(kernel)
         dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=jnp.float32)
+        # same dtype policy as SNConv (mixed-out dot also lacks a transpose)
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype), preferred_element_type=dtype)
         if self.use_bias:
             y = y + self.param("bias", bias_init, (self.features,))
         return y.astype(dtype)

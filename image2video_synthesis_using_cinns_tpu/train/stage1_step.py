@@ -87,9 +87,44 @@ def _gated(gate, new_tree, old_tree):
     return jax.tree.map(lambda n, o: jnp.where(cond, n, o), new_tree, old_tree)
 
 
+def _mixed_precision_apply(module, dtype):
+    """Wrap ``module.apply``: cast fp32 params/args to ``dtype`` for the
+    forward, cast array outputs back to fp32 (losses/reductions stay fp32).
+    Gradients w.r.t. the fp32 params flow through the cast (the
+    convert_element_type VJP accumulates in fp32). ``dtype=None`` → plain
+    apply."""
+    if dtype is None:
+        return module.apply
+
+    def cast_to(tree):
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            tree,
+        )
+
+    def cast_back(tree):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == dtype else a,
+            tree,
+        )
+
+    def apply(variables, *args, **kwargs):
+        out = module.apply(cast_to(variables), *cast_to(args), **kwargs)
+        return cast_back(out)
+
+    return apply
+
+
 def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
     """Returns jitted ``step(state, seq, epoch, rng) → (state, metrics,
-    seq_gen)``."""
+    seq_gen)``.
+
+    ``Training.compute_dtype: bfloat16`` runs the heavy forwards (encoder,
+    decoder, both discriminators, LPIPS) in bf16 with fp32 params, optimiser
+    state, losses and reductions — flag-gated mixed precision (BASELINE.md
+    records step-time + convergence numbers)."""
     opt_ae, opt_dt, opt_ds = optimizers
     w_kl = float(opt_cfg["w_kl"])
     w_coup_t = float(opt_cfg["w_coup_t"])
@@ -100,18 +135,25 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
     pretrain = int(opt_cfg["pretrain"])
     sub_len = int(opt_cfg["subsample_length"])
     n_patch = 20
+    compute_dtype = str(opt_cfg.get("compute_dtype", "float32"))
+    mp_dt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
 
     decoder, encoder = bundle.decoder, bundle.encoder
     disc_t, disc_s = bundle.disc_t, bundle.disc_s
+    dec_apply = _mixed_precision_apply(decoder, mp_dt)
+    enc_apply = _mixed_precision_apply(encoder, mp_dt)
+    disc_t_apply = _mixed_precision_apply(disc_t, mp_dt)
+    disc_s_apply = _mixed_precision_apply(disc_s, mp_dt)
+    lpips_apply = _mixed_precision_apply(bundle.lpips, mp_dt)
 
     def fwd_vae(dec_params, enc_params, aux, seq, k_sample):
         dec_aux, enc_aux = aux
         seq_orig = seq[:, 1:]
-        motion, mu, logvar = encoder.apply(
+        motion, mu, logvar = enc_apply(
             join_vars(enc_params, enc_aux), seq_orig, rngs={"sample": k_sample}
         )
         seq_gen = jax.checkpoint(
-            lambda p, img, m: decoder.apply(join_vars(p, dec_aux), img, m)
+            lambda p, img, m: dec_apply(join_vars(p, dec_aux), img, m)
         )(dec_params, seq[:, 0], motion)
         return seq_gen, seq_orig, mu, logvar
 
@@ -154,12 +196,12 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
 
         def d_t_loss(params):
             variables = join_vars(params, dt_aux)
-            pred_fake, _ = disc_t.apply(variables, seq_fake)
-            pred_real, _ = disc_t.apply(variables, seq_real)
+            pred_fake, _ = disc_t_apply(variables, seq_fake)
+            pred_real, _ = disc_t_apply(variables, seq_real)
             l_d = hinge_loss(pred_fake, pred_real, "disc")
             if w_GP:
                 grad_x = jax.grad(
-                    lambda x: jnp.mean(disc_t.apply(variables, x)[0])
+                    lambda x: jnp.mean(disc_t_apply(variables, x)[0])
                 )(seq_real)
                 gp = jnp.mean(
                     jnp.sum(jnp.square(grad_x).reshape(seq_real.shape[0], -1), axis=1)
@@ -181,8 +223,8 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
 
         def d_s_loss(params):
             variables = join_vars(params, ds_aux)
-            pred_fake = disc_s.apply(variables, data_fake)
-            pred_real = disc_s.apply(variables, data_real)
+            pred_fake = disc_s_apply(variables, data_fake)
+            pred_real = disc_s_apply(variables, data_real)
             l_d = hinge_loss(pred_fake, pred_real, "disc")
             return l_d, (jnp.mean(pred_real), jnp.mean(pred_fake))
 
@@ -237,20 +279,20 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
             # remat the disc/LPIPS forwards: recompute in the backward pass
             # instead of holding their activations (memory >> recompute here)
             pred_fake_s = jax.checkpoint(
-                lambda x: disc_s.apply(disc_s_vars, x)
+                lambda x: disc_s_apply(disc_s_vars, x)
             )(df)
             loss_gen_s = hinge_loss(pred_fake_s, None, "gen")
 
             pred_fake_t, fmap_f = jax.checkpoint(
-                lambda x: disc_t.apply(disc_t_vars, x)
+                lambda x: disc_t_apply(disc_t_vars, x)
             )(sf)
-            _, fmap_r = disc_t.apply(disc_t_vars, sr)
+            _, fmap_r = disc_t_apply(disc_t_vars, sr)
             coup_t = hinge_loss(pred_fake_t, None, "gen")
             L_fmap = fmap_loss(fmap_f, fmap_r, "L1")
 
             lp = jnp.mean(
                 jax.checkpoint(
-                    lambda v, a, b: bundle.lpips.apply(v, a, b)
+                    lambda v, a, b: lpips_apply(v, a, b)
                 )(lpips_vars, _flat_frames(so), _flat_frames(sg))
             )
             L_recon = jnp.mean(jnp.abs(sg - so))

@@ -2,8 +2,9 @@
 
 Usage examples (paths mirror the reference's manual-download layout):
 
-  # pretrained model directory (stage1 + AE + cINN chained checkpoints)
-  python scripts/convert_weights.py model_dir --src ./torch_models/bair --dst ./models/bair
+  # whole pretrained model directory: follows the config_stage2.yaml chain
+  # and converts the stage-1 decoder/encoder, cINN and AE embedder in place
+  python scripts/convert_weights.py model_dir --src ./torch_models/bair/stage2
 
   # metric backbones
   python scripts/convert_weights.py i3d      --src ./models/PI3D/model_rgb.pth
@@ -31,7 +32,8 @@ def _save(dst: str, variables: dict) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["i3d", "dti3d16", "dti3d32", "fid", "lpips",
+    p.add_argument("kind", choices=["model_dir",
+                                    "i3d", "dti3d16", "dti3d32", "fid", "lpips",
                                     "generator", "encoder", "disc_t", "disc_s",
                                     "cinn", "ae_encoder", "bigae"])
     p.add_argument("--src", required=True)
@@ -43,6 +45,19 @@ def main() -> None:
     p.add_argument("--embedding_dim", type=int, default=64)
     p.add_argument("--control", action="store_true")
     args = p.parse_args()
+
+    if args.kind == "model_dir":
+        # whole checkpoint dir: follow the config_stage2.yaml chain and
+        # convert everything reachable, in place (parity_report.py:
+        # convert_checkpoint_dir)
+        from parity_report import convert_checkpoint_dir
+
+        out = convert_checkpoint_dir(args.src)
+        for w in out["written"]:
+            print("wrote", w)
+        if not out["written"]:
+            print("nothing to convert (already converted or no .pth found)")
+        return
 
     sd = C.load_torch_state_dict(args.src)
     defaults = {

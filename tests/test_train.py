@@ -107,3 +107,64 @@ def test_stage2_resume(tmp_path, data_dir):
     opt2.Training["reload_path"] = first["save_path"]
     second = main(opt2, max_steps=1, eval_fvd=False)
     assert np.isfinite(second["train_loss"]).all()
+
+
+def test_stage1_bf16_step_close_to_fp32():
+    """Training.compute_dtype=bfloat16 runs the heavy forwards in bf16 with
+    fp32 params/losses; one step must stay finite and track the fp32 step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from image2video_synthesis_using_cinns_tpu.testing import stage1_config
+    from image2video_synthesis_using_cinns_tpu.train.stage1 import build_stage1
+    from image2video_synthesis_using_cinns_tpu.train.stage1_step import (
+        Stage1State,
+        make_stage1_train_step,
+    )
+
+    opt = stage1_config(P)
+    tr = opt.Training
+    bundle, dec_vars, enc_vars, dt_vars, ds_vars = build_stage1(
+        opt, jax.random.PRNGKey(0)
+    )
+    opts = (optax.sgd(1e-4),) * 3
+
+    def fresh_state():
+        return Stage1State(
+            jax.tree.map(jnp.array, dec_vars),
+            jax.tree.map(jnp.array, enc_vars),
+            jax.tree.map(jnp.array, dt_vars),
+            jax.tree.map(jnp.array, ds_vars),
+            opts[0].init((dec_vars["params"], enc_vars["params"])),
+            opts[1].init(dt_vars["params"]),
+            opts[2].init(ds_vars["params"]),
+        )
+
+    seq = jax.random.uniform(
+        jax.random.PRNGKey(5),
+        (2, P["seq_length"], P["img_size"], P["img_size"], 3),
+        minval=-1, maxval=1,
+    )
+    rng = jax.random.PRNGKey(7)
+    epoch = jnp.int32(tr["pretrain"])
+
+    step32 = make_stage1_train_step(bundle, tr, opts)
+    st32, m32, _ = step32(fresh_state(), seq, epoch, rng)
+
+    tr_bf16 = dict(tr)
+    tr_bf16["compute_dtype"] = "bfloat16"
+    step16 = make_stage1_train_step(bundle, tr_bf16, opts)
+    st16, m16, _ = step16(fresh_state(), seq, epoch, rng)
+
+    for k, v in m16.items():
+        assert np.isfinite(float(v)), k
+    # bf16 forwards track fp32 losses on well-scaled metrics (the random-init
+    # patch-disc logits are ~1e5 before ActNorm init, where bf16's ~1%
+    # relative error dominates; finiteness is asserted above for all)
+    for k in ("Loss_L1", "Loss_KL", "PSNR", "SSIM"):
+        a, b = float(m32[k]), float(m16[k])
+        assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)
+    # params remain fp32 and updated
+    for leaf in jax.tree.leaves(st16.dec_vars["params"]):
+        assert leaf.dtype == jnp.float32
