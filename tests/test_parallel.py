@@ -173,6 +173,82 @@ def test_stage1_dp_step_matches_single_device():
             )
 
 
+def test_stage2_ae_dp_step_matches_single_device():
+    """AE VAE-GAN step under batch sharding: two generator backwards, the
+    adaptive d_weight from colorize-leaf gradient norms, the d_loss>0-gated
+    disc update and the BN/spectral refresh must all match a single-device
+    run (reference behaviour guarded: stage2_cINN/AE/modules/loss.py:8-86)."""
+    from image2video_synthesis_using_cinns_tpu.models.backbones.lpips import LPIPS
+    from image2video_synthesis_using_cinns_tpu.models.stage1.patch_disc import (
+        NLayerDiscriminator,
+    )
+    from image2video_synthesis_using_cinns_tpu.models.stage2.biggan import BigAE
+    from image2video_synthesis_using_cinns_tpu.testing import PRESETS, stage2_ae_config
+    from image2video_synthesis_using_cinns_tpu.train.stage2_ae import make_ae_step
+
+    opt = stage2_ae_config(PRESETS["tiny"])
+    opt.AE["in_size"] = 64
+    opt.AE["z_dim"] = 64
+    opt.AE["chn"] = 8
+    opt.AE["encoder_type"] = "resnet18"
+
+    network = BigAE(config=dict(opt.AE))
+    gen_vars = jax.jit(network.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3))
+    )
+    disc = NLayerDiscriminator.from_config(opt.Discriminator_Patch)
+    disc_vars = jax.jit(disc.init)(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3))
+    )
+    lpips = LPIPS()
+    lpips_vars = jax.jit(lpips.init)(
+        {"params": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+    )
+    # SGD for the same reason as the stage-1 DP test above
+    opt_gen, opt_disc = optax.sgd(1e-4), optax.sgd(1e-4)
+    train_step, _ = make_ae_step(
+        network, disc, lpips, lpips_vars, opt_gen, opt_disc,
+        w_kl=1e-5, pretrain=0,
+    )
+
+    img = jax.random.uniform(jax.random.PRNGKey(5), (8, 64, 64, 3), minval=-1, maxval=1)
+    epoch = jnp.int32(1)
+
+    def fresh():
+        gv = jax.tree.map(jnp.array, gen_vars)
+        dv = jax.tree.map(jnp.array, disc_vars)
+        return (gv, jnp.zeros(()), dv,
+                opt_gen.init((gv["params"], jnp.zeros(()))),
+                opt_disc.init(dv["params"]))
+
+    gv, lv, dv, og, od = fresh()
+    out_single = train_step(gv, lv, dv, og, od, img, epoch)
+
+    mesh = make_mesh(8)
+    gv, lv, dv, og, od = [replicate(mesh, x) for x in fresh()]
+    img_s = shard_batch(mesh, {"img": img})["img"]
+    out_dp = train_step(gv, lv, dv, og, od, img_s, epoch)
+
+    m_single, m_dp = out_single[5], out_dp[5]
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_dp[k]), rtol=3e-4, atol=3e-4, err_msg=k
+        )
+    for a, b in zip(jax.tree.leaves(out_single[0]), jax.tree.leaves(out_dp[0])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=1e-4, err_msg="gen_vars"
+        )
+    # disc update: the hinge relu(1 +- logit) gradient flips discretely for
+    # logits within fp noise of the kink, so a few elements legitimately
+    # diverge under sharded reduction order; a real DP bug (per-shard stats /
+    # missing all-reduce) shifts essentially every element at O(1)
+    for a, b in zip(jax.tree.leaves(out_single[2]), jax.tree.leaves(out_dp[2])):
+        a, b = np.asarray(a), np.asarray(b)
+        bad = np.abs(a - b) > (1e-4 + 3e-3 * np.abs(b))
+        assert bad.mean() < 0.10, f"disc_vars: {bad.mean():.1%} elements diverged"
+
+
 def test_pad_to_multiple():
     batch = {"x": jnp.ones((5, 3))}
     padded, true_b = pad_to_multiple(batch, 4)
