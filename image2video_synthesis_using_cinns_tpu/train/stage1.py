@@ -43,6 +43,7 @@ from .stage1_step import (
     Stage1Bundle,
     Stage1State,
     make_stage1_eval_step,
+    make_stage1_scan_step,
     make_stage1_train_step,
 )
 
@@ -184,6 +185,23 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
     step_fn = make_stage1_train_step(bundle, tr, (opt_ae, opt_dt, opt_ds))
     eval_fn = make_stage1_eval_step(bundle)
 
+    # K steps per dispatch (lax.scan over the fused whole-step) — amortises
+    # the per-dispatch relay RPC + per-step metric fetch and moves the
+    # uint8→float decode + augmentation on-device into the same program; 1 =
+    # one (or two, unfused) dispatches per step. See make_stage1_scan_step.
+    spd = int(tr.get("steps_per_dispatch", 1))
+    multi_fn = (
+        make_stage1_scan_step(
+            bundle, tr, (opt_ae, opt_dt, opt_ds), aug_train,
+            true_b=int(tr["bs"]), img_size=int(opt.Data["img_size"]),
+        )
+        if spd > 1
+        else None
+    )
+    stacked_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data")
+    )
+
     scheds = [
         LRController(tr["lr"], "exponential", gamma=tr["lr_gamma"]) for _ in range(3)
     ]
@@ -207,7 +225,33 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
         # ---------------- train ----------------
         log_train.reset()
-        for i, batch in enumerate(train_loader.epoch_iter(epoch)):
+
+        def log_metrics(metrics):
+            log_train.append(metrics)
+            wandb_sink.log(metrics)
+
+        # Deferred-fetch pipeline — see train/stage2.py: a chunk's metrics
+        # (and the last (seq_gen, seq) pair for the epoch GIF) are fetched
+        # only once the next chunk is dispatched, overlapping its uint8
+        # host→device transfer with compute.
+        pending: list = []
+
+        def drain(all_pending: bool = False):
+            nonlocal sequences
+            while pending and (all_pending or len(pending) > 1):
+                metrics, n, gen_d, seq_d = pending.pop(0)
+                metrics = jax.device_get(metrics)
+                for j in range(n):
+                    log_metrics({k: float(v[j]) for k, v in metrics.items()})
+                # plot_vid expects the torch (B,T,C,H,W) layout
+                sequences = [
+                    np.transpose(np.asarray(gen_d), (0, 1, 4, 2, 3)),
+                    np.transpose(np.asarray(seq_d)[:, 1:], (0, 1, 4, 2, 3)),
+                ]
+
+        def run_single(batch):
+            nonlocal state, actnorm_done, global_step, sequences
+            drain(all_pending=True)
             key = jax.random.fold_in(root_key, global_step)
             seq = prep(batch, True, key)
 
@@ -232,19 +276,56 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             state, metrics, seq_gen = step_fn(
                 state, seq, jnp.asarray(epoch), jax.random.fold_in(key, 1)
             )
-            metrics = {k: float(v) for k, v in metrics.items()}
-            log_train.append(metrics)
-            wandb_sink.log(metrics)
+            log_metrics({k: float(v) for k, v in metrics.items()})
             # plot_vid expects the torch (B,T,C,H,W) layout
             sequences = [
                 np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
                 np.transpose(np.asarray(seq[:, 1:]), (0, 1, 4, 2, 3)),
             ]
             global_step += 1
+
+        def run_chunk(chunk):
+            nonlocal state, global_step
+            raws = np.stack([b["seq_raw"] for b in chunk])  # (K,B,T,H,W,3) u8
+            # pad B to the mesh multiple; the scan body re-pads the AUGMENTED
+            # clip into these rows so the trajectory matches the single path
+            # exactly (see make_stage1_scan_step)
+            rem = (-raws.shape[1]) % n_dev
+            if rem:
+                raws = np.concatenate([raws, np.repeat(raws[:, -1:], rem, axis=1)], 1)
+            keys = jnp.stack(
+                [jax.random.fold_in(root_key, global_step + j) for j in range(len(chunk))]
+            )
+            state, metrics, seq_gen, seq = multi_fn(
+                state, jax.device_put(raws, stacked_sharding),
+                jnp.asarray(epoch), keys,
+            )
+            global_step += len(chunk)
+            pending.append((metrics, len(chunk), seq_gen, seq))
+            drain()  # fetch the PREVIOUS chunk while this one executes
+
+        chunk: list = []
+        for batch in train_loader.epoch_iter(epoch):
+            full = batch["seq_raw"].shape[0] == tr["bs"]
+            steps_left = (max_steps - global_step - len(chunk)) if max_steps else spd
+            if multi_fn is not None and actnorm_done and full and steps_left >= spd:
+                chunk.append(batch)
+                if len(chunk) == spd:
+                    run_chunk(chunk)
+                    chunk = []
+            else:
+                for b in chunk:
+                    run_single(b)
+                chunk = []
+                run_single(batch)
             if max_steps and global_step >= max_steps:
                 break
             if guard.should_stop:
                 break
+        if not guard.should_stop and not (max_steps and global_step >= max_steps):
+            for b in chunk:  # epoch tail shorter than one chunk
+                run_single(b)
+        drain(all_pending=True)
 
         if sequences is not None:
             gif = plot_vid(opt, sequences, epoch, mode="train")

@@ -117,14 +117,10 @@ def _mixed_precision_apply(module, dtype):
     return apply
 
 
-def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
-    """Returns jitted ``step(state, seq, epoch, rng) → (state, metrics,
-    seq_gen)``.
-
-    ``Training.compute_dtype: bfloat16`` runs the heavy forwards (encoder,
-    decoder, both discriminators, LPIPS) in bf16 with fp32 params, optimiser
-    state, losses and reductions — flag-gated mixed precision (BASELINE.md
-    records step-time + convergence numbers)."""
+def _build_phases(bundle: Stage1Bundle, opt_cfg, optimizers):
+    """The two pure (un-jitted) phase functions of the adversarial step,
+    shared by the per-step factories (``make_stage1_train_step``) and the
+    scanned multi-step (``make_stage1_scan_step``)."""
     opt_ae, opt_dt, opt_ds = optimizers
     w_kl = float(opt_cfg["w_kl"])
     w_coup_t = float(opt_cfg["w_coup_t"])
@@ -338,11 +334,65 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
             opt_ae_state, vae_metrics,
         )
 
+    return disc_step, vae_step
+
+
+def _compose_whole_step(disc_step, vae_step):
+    def _whole_step(state: Stage1State, lpips_vars, seq, epoch,
+                    k_sample, k_sub, k_patch):
+        """Both phases in one program (same math as the split path — the
+        phase functions are composed, not duplicated)."""
+        (disc_t_vars, disc_s_vars, opt_dt_state, opt_ds_state, seq_gen_sg,
+         disc_metrics) = disc_step(
+            state.disc_t_vars, state.disc_s_vars, state.opt_dt, state.opt_ds,
+            state.dec_vars, state.enc_vars, seq, epoch, k_sample, k_sub, k_patch,
+        )
+        dec_vars, enc_vars, opt_ae_state, vae_metrics = vae_step(
+            state.dec_vars, state.enc_vars, state.opt_ae,
+            disc_t_vars, disc_s_vars, lpips_vars,
+            seq, epoch, k_sample, k_sub, k_patch,
+        )
+        new_state = Stage1State(
+            dec_vars, enc_vars, disc_t_vars, disc_s_vars,
+            opt_ae_state, opt_dt_state, opt_ds_state,
+        )
+        return new_state, {**vae_metrics, **disc_metrics}, seq_gen_sg
+
+    return _whole_step
+
+
+def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
+    """Returns jitted ``step(state, seq, epoch, rng) → (state, metrics,
+    seq_gen)``.
+
+    ``Training.compute_dtype: bfloat16`` runs the heavy forwards (encoder,
+    decoder, both discriminators, LPIPS) in bf16 with fp32 params, optimiser
+    state, losses and reductions — flag-gated mixed precision (BASELINE.md
+    records step-time + convergence numbers)."""
+    disc_step, vae_step = _build_phases(bundle, opt_cfg, optimizers)
+
     disc_step_j = jax.jit(disc_step, donate_argnums=(0, 1, 2, 3))
     vae_step_j = jax.jit(vae_step, donate_argnums=(0, 1, 2))
 
+    whole_step_j = jax.jit(
+        _compose_whole_step(disc_step, vae_step), donate_argnums=(0,)
+    )
+
+    # Training.fused_step=true runs the step as ONE XLA program instead of
+    # two: saves a dispatch (30-90 ms relay RPC on this rig) and lets XLA
+    # share work across the phases. The fused program holds more live
+    # buffers: at the reference batch size it exceeds a 16G chip in fp32
+    # (why the split exists — see module docstring) but fits in bf16
+    # (compute_dtype=bfloat16 halves the activation footprint); measured
+    # numbers in BASELINE.md.
+    fused = bool(opt_cfg.get("fused_step", False))
+
     def step(state: Stage1State, seq, epoch, rng):
         k_sample, k_sub, k_patch = jax.random.split(rng, 3)
+        if fused:
+            return whole_step_j(
+                state, bundle.lpips_vars, seq, epoch, k_sample, k_sub, k_patch
+            )
         (disc_t_vars, disc_s_vars, opt_dt_state, opt_ds_state, seq_gen_sg,
          disc_metrics) = disc_step_j(
             state.disc_t_vars, state.disc_s_vars, state.opt_dt, state.opt_ds,
@@ -361,6 +411,68 @@ def make_stage1_train_step(bundle: Stage1Bundle, opt_cfg, optimizers):
         return new_state, metrics, seq_gen_sg
 
     return step
+
+
+def make_stage1_scan_step(bundle: Stage1Bundle, opt_cfg, optimizers,
+                          augment, true_b: int, img_size: int):
+    """K adversarial steps fused into ONE dispatch via ``lax.scan`` over the
+    composed whole-step — same rationale and per-step key semantics as
+    ``stage2.make_scan_step`` (uint8 clips ship once per chunk, augmentation
+    + decode run on-device inside the program, metrics fetch once). Step
+    ``j`` consumes ``keys[j]`` exactly as the single-step trainer path does
+    (augment from ``keys[j]``, phase rng from ``fold_in(keys[j], 1)``), and
+    pad rows replicate the last AUGMENTED clip so trajectories match the
+    per-step path (tested in tests/test_train.py).
+
+    The scan body is the fused single program, so the same HBM note as
+    ``Training.fused_step`` applies (module docstring); prefer
+    ``compute_dtype: bfloat16`` at full size.
+
+    Returns ``multi(state, lpips_vars, raw_u8, epoch, keys) → (state,
+    stacked_metrics, last_seq_gen, last_seq)`` with ``raw_u8``
+    (K, B, T, H, W, 3) uint8 and ``keys`` (K, 2) uint32.
+    """
+    from functools import partial
+
+    disc_step, vae_step = _build_phases(bundle, opt_cfg, optimizers)
+    whole = _compose_whole_step(disc_step, vae_step)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _multi(state: Stage1State, lpips_vars, raw_u8, epoch, keys):
+        B, T = raw_u8.shape[1], raw_u8.shape[2]
+
+        def body(carry, xs):
+            st, _, _ = carry
+            raw, key = xs
+            seq = augment(raw, key)
+            if true_b < seq.shape[0]:
+                # reproduce pad_to_multiple exactly: the single-step path
+                # augments the true batch then repeats the LAST AUGMENTED
+                # clip into the pad rows (per-clip subkeys are prefix-stable
+                # under jax.random.split — see stage2.make_scan_step)
+                pad = jnp.repeat(
+                    seq[true_b - 1 : true_b], seq.shape[0] - true_b, axis=0
+                )
+                seq = jnp.concatenate([seq[:true_b], pad], axis=0)
+            k_sample, k_sub, k_patch = jax.random.split(
+                jax.random.fold_in(key, 1), 3
+            )
+            st, metrics, seq_gen = whole(
+                st, lpips_vars, seq, epoch, k_sample, k_sub, k_patch
+            )
+            return (st, seq_gen, seq), metrics
+
+        gen0 = jnp.zeros((B, T - 1, img_size, img_size, 3), jnp.float32)
+        seq0 = jnp.zeros((B, T, img_size, img_size, 3), jnp.float32)
+        (state, seq_gen, seq), metrics = jax.lax.scan(
+            body, (state, gen0, seq0), (raw_u8, keys)
+        )
+        return state, metrics, seq_gen, seq
+
+    def multi(state, raw_u8, epoch, keys):
+        return _multi(state, bundle.lpips_vars, raw_u8, epoch, keys)
+
+    return multi
 
 
 def make_stage1_eval_step(bundle: Stage1Bundle):

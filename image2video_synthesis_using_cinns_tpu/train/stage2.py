@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import config as cfg
 from ..data import get_loader
@@ -85,14 +86,7 @@ def build_models(opt):
     return config1, generator, gen_vars, encoder, enc_vars, network, net_vars
 
 
-def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, optimizer, control: bool):
-    """One jitted DP step. ``trainable`` = flow params; embedder frozen.
-
-    The frozen encoder weights are threaded as jit *arguments* (bound via the
-    returned closures), never captured as jaxpr constants — closure capture
-    bakes ~100MB of weights into the serialized HLO, which at full size
-    overflows the remote-compile transport and bloats every compile."""
-
+def _make_loss_fn(network: SupervisedTransformer, encoder: Encoder, control: bool):
     def loss_fn(flow_params, frozen, buffers, enc_v, seq, cond_pos, rng):
         # frozen dynamics posterior of frames 1:
         k_enc, k_ref = jax.random.split(rng)
@@ -106,6 +100,19 @@ def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, 
         gauss, logdet = network.apply(variables, post, cond)
         loss, aux = flow_loss(gauss, logdet, rng=k_ref)
         return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, optimizer, control: bool):
+    """One jitted DP step. ``trainable`` = flow params; embedder frozen.
+
+    The frozen encoder weights are threaded as jit *arguments* (bound via the
+    returned closures), never captured as jaxpr constants — closure capture
+    bakes ~100MB of weights into the serialized HLO, which at full size
+    overflows the remote-compile transport and bloats every compile."""
+
+    loss_fn = _make_loss_fn(network, encoder, control)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def _step(flow_params, opt_state, frozen, buffers, enc_v, seq, cond_pos, rng):
@@ -128,6 +135,72 @@ def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, 
         return _eval_step(flow_params, frozen, buffers, enc_vars, seq, cond_pos, rng)
 
     return step, eval_step
+
+
+def make_scan_step(
+    network: SupervisedTransformer,
+    encoder: Encoder,
+    enc_vars,
+    optimizer,
+    control: bool,
+    augment,
+    true_b: int | None = None,
+):
+    """K optimisation steps fused into ONE dispatch via ``lax.scan``.
+
+    On this rig every dispatch pays ~30-90 ms of relay RPC, which dwarfs the
+    flow step's compute (the reference dispatches dozens of CUDA kernels per
+    step instead, ``stage2_cINN/main.py:31-38``). Scanning K steps inside one
+    jitted program amortises the RPC, moves the uint8→float decode + jitted
+    augmentation on-device into the same program (one uint8 host→device
+    transfer per chunk), and fetches the K per-step metrics with a single
+    host sync instead of K.
+
+    Per-step semantics are *identical* to ``make_train_step``: step ``j``
+    consumes ``keys[j]`` exactly as the single-step path consumes
+    ``fold_in(root_key, global_step)`` — augmentation from ``keys[j]``, loss
+    rng from ``fold_in(keys[j], 2)`` — so a scanned chunk reproduces K
+    sequential single-step updates (tested in test_train.py).
+
+    Returns ``multi(flow_params, opt_state, frozen, buffers, raw_u8, conds,
+    keys)`` where ``raw_u8`` is (K, B, T, H, W, 3) uint8 (shard: P(None,
+    'data')) and ``keys`` is (K, 2) uint32; yields stacked per-step aux.
+    """
+
+    loss_fn = _make_loss_fn(network, encoder, control)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def _multi(flow_params, opt_state, frozen, buffers, enc_v, raw_u8, conds, keys):
+        def body(carry, xs):
+            fp, os_ = carry
+            raw, cond_pos, key = xs
+            seq = augment(raw, key)
+            if true_b is not None and true_b < seq.shape[0]:
+                # reproduce pad_to_multiple exactly: the single-step path
+                # augments the true batch then repeats the LAST AUGMENTED
+                # clip into the pad rows (per-clip subkeys are prefix-stable
+                # under jax.random.split, so rows < true_b already match)
+                pad = jnp.repeat(seq[true_b - 1 : true_b], seq.shape[0] - true_b, axis=0)
+                seq = jnp.concatenate([seq[:true_b], pad], axis=0)
+            rng = jax.random.fold_in(key, 2)
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                fp, frozen, buffers, enc_v, seq, cond_pos, rng
+            )
+            updates, os_ = optimizer.update(grads, os_, fp)
+            fp = jax.tree.map(lambda p, u: p + u, fp, updates)
+            return (fp, os_), aux
+
+        (flow_params, opt_state), auxs = jax.lax.scan(
+            body, (flow_params, opt_state), (raw_u8, conds, keys)
+        )
+        return flow_params, opt_state, auxs
+
+    def multi(flow_params, opt_state, frozen, buffers, raw_u8, conds, keys):
+        return _multi(
+            flow_params, opt_state, frozen, buffers, enc_vars, raw_u8, conds, keys
+        )
+
+    return multi
 
 
 def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
@@ -200,6 +273,22 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
     step_fn, eval_fn = make_train_step(network, encoder, enc_vars_r, optimizer, control)
 
+    # K steps per dispatch (lax.scan) — amortises the per-dispatch RPC that
+    # dominates this tiny step's wall-clock on the remote chip; 1 = one jitted
+    # dispatch per step (the reference's granularity). See make_scan_step.
+    spd = int(opt.Training.get("steps_per_dispatch", 1))
+    multi_fn = (
+        make_scan_step(
+            network, encoder, enc_vars_r, optimizer, control, aug_train,
+            true_b=int(opt.Training["bs"]),
+        )
+        if spd > 1
+        else None
+    )
+    stacked_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data")
+    )
+
     lr_ctrl = LRController(
         opt.Training["lr"], "step",
         gamma=opt.Training["gamma"], step_size=opt.Training["step_size"],
@@ -246,7 +335,27 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
         # ---------------- train ----------------
         loss_track_train.reset()
-        for i, batch in enumerate(train_loader.epoch_iter(epoch)):
+
+        def log_aux(aux):
+            loss_track_train.append(aux)
+            wandb_sink.log({f"train_{k}": v for k, v in aux.items()})
+
+        # Deferred-fetch pipeline: a dispatched chunk's metrics stay on device
+        # until the NEXT chunk is dispatched, so the next chunk's (async)
+        # uint8 host→device transfer and the current chunk's compute overlap.
+        # Values and logging order are unchanged — only the fetch is late.
+        pending: list = []
+
+        def drain(all_pending: bool = False):
+            while pending and (all_pending or len(pending) > 1):
+                auxs, n = pending.pop(0)
+                auxs = jax.device_get(auxs)
+                for j in range(n):
+                    log_aux({k: float(v[j]) for k, v in auxs.items()})
+
+        def run_single(batch):
+            nonlocal flow_params, opt_state, actnorm_done, global_step
+            drain(all_pending=True)
             key = jax.random.fold_in(root_key, global_step)
             sharded, _ = prep_batch(batch, True, key)
 
@@ -275,14 +384,58 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
                 flow_params, opt_state, frozen, buffers,
                 sharded["seq"], sharded["cond"], jax.random.fold_in(key, 2),
             )
-            aux = {k: float(v) for k, v in aux.items()}
-            loss_track_train.append(aux)
-            wandb_sink.log({f"train_{k}": v for k, v in aux.items()})
+            log_aux({k: float(v) for k, v in aux.items()})
             global_step += 1
+
+        def run_chunk(chunk):
+            nonlocal flow_params, opt_state, global_step
+            raws = np.stack([b["seq_raw"] for b in chunk])  # (K,B,T,H,W,3) u8
+            if control:
+                conds = np.stack([np.asarray(b["cond"], np.float32) for b in chunk])
+            else:
+                conds = np.zeros(raws.shape[:2] + (3,), np.float32)
+            # pad B to the mesh multiple; the scan body re-pads the AUGMENTED
+            # clip into these rows so the trajectory matches the single path
+            # exactly (see make_scan_step)
+            rem = (-raws.shape[1]) % n_dev
+            if rem:
+                raws = np.concatenate([raws, np.repeat(raws[:, -1:], rem, axis=1)], 1)
+                conds = np.concatenate([conds, np.repeat(conds[:, -1:], rem, axis=1)], 1)
+            keys = jnp.stack(
+                [jax.random.fold_in(root_key, global_step + j) for j in range(len(chunk))]
+            )
+            flow_params, opt_state, auxs = multi_fn(
+                flow_params, opt_state, frozen, buffers,
+                jax.device_put(raws, stacked_sharding),
+                jax.device_put(conds, stacked_sharding),
+                keys,
+            )
+            global_step += len(chunk)
+            pending.append((auxs, len(chunk)))
+            drain()  # fetch the PREVIOUS chunk while this one executes
+
+        chunk: list = []
+        for batch in train_loader.epoch_iter(epoch):
+            full = batch["seq_raw"].shape[0] == opt.Training["bs"]
+            steps_left = (max_steps - global_step - len(chunk)) if max_steps else spd
+            if multi_fn is not None and actnorm_done and full and steps_left >= spd:
+                chunk.append(batch)
+                if len(chunk) == spd:
+                    run_chunk(chunk)
+                    chunk = []
+            else:
+                for b in chunk:
+                    run_single(b)
+                chunk = []
+                run_single(batch)
             if max_steps and global_step >= max_steps:
                 break
             if guard.should_stop:
                 break
+        if not guard.should_stop and not (max_steps and global_step >= max_steps):
+            for b in chunk:  # epoch tail shorter than one chunk
+                run_single(b)
+        drain(all_pending=True)
 
         # ---------------- eval ----------------
         loss_track_test.reset()

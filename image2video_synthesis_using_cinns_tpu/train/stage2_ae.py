@@ -54,10 +54,10 @@ def _colorize_leaf_norm(grad_params):
     return jnp.linalg.norm(leaf)
 
 
-def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
-                 opt_gen, opt_disc, w_kl: float, pretrain: int):
-    """LPIPS weights are threaded as a jit argument (bound below), not a
-    closure constant — see train/stage2.py for why."""
+def _build_step(network: BigAE, disc: NLayerDiscriminator, lpips,
+                opt_gen, opt_disc, w_kl: float, pretrain: int):
+    """The pure (un-jitted) AE optimisation step, shared by the per-step
+    jit (``make_ae_step``) and the scanned multi-step (``make_ae_scan_step``)."""
 
     def recon_and_losses(gen_params, gen_aux, logvar, lpips_v, img, train):
         variables = join_vars(gen_params, gen_aux)
@@ -168,6 +168,16 @@ def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
             opt_g, opt_d, metrics, recon,
         )
 
+    return step
+
+
+def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
+                 opt_gen, opt_disc, w_kl: float, pretrain: int):
+    """LPIPS weights are threaded as a jit argument (bound below), not a
+    closure constant — see train/stage2.py for why."""
+
+    step = _build_step(network, disc, lpips, opt_gen, opt_disc, w_kl, pretrain)
+
     _train = jax.jit(
         lambda gv, lv, dv, og, od, lpv, img, ep: step(gv, lv, dv, og, od, lpv, img, ep, True),
         donate_argnums=(0, 1, 2, 3, 4),
@@ -183,6 +193,54 @@ def make_ae_step(network: BigAE, disc: NLayerDiscriminator, lpips, lpips_vars,
         return _eval(gv, lv, dv, og, od, lpips_vars, img, ep)
 
     return train_step, eval_step
+
+
+def make_ae_scan_step(network: BigAE, disc: NLayerDiscriminator, lpips,
+                      lpips_vars, opt_gen, opt_disc, w_kl: float, pretrain: int,
+                      augment, true_b: int, img_size: int):
+    """K AE optimisation steps fused into ONE dispatch via ``lax.scan`` —
+    same rationale and per-step key semantics as ``stage2.make_scan_step``
+    (uint8 ships once per chunk, augmentation runs on-device inside the
+    program, metrics fetch once). Step ``j`` consumes ``keys[j]`` exactly as
+    the single-step trainer path does, and pad rows replicate the last
+    AUGMENTED clip so trajectories match ``make_ae_step`` bit-for-fp-bit.
+
+    Returns ``multi(gv, lv, dv, og, od, raw_u8, keys, epoch)`` with
+    ``raw_u8`` (K, B, T, H, W, 3) uint8; yields the final carry plus the last
+    step's (img, recon) pair (for the recon grid) and stacked metrics.
+    """
+    from functools import partial
+
+    step = _build_step(network, disc, lpips, opt_gen, opt_disc, w_kl, pretrain)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def _multi(gv, lv, dv, og, od, lpips_v, raw_u8, keys, epoch):
+        def body(carry, xs):
+            gv, lv, dv, og, od, _, _ = carry
+            raw, key = xs
+            seq = augment(raw, key)
+            img = seq[:, 0] if seq.ndim == 5 else seq
+            if true_b < img.shape[0]:
+                pad = jnp.repeat(
+                    img[true_b - 1 : true_b], img.shape[0] - true_b, axis=0
+                )
+                img = jnp.concatenate([img[:true_b], pad], axis=0)
+            gv, lv, dv, og, od, metrics, recon = step(
+                gv, lv, dv, og, od, lpips_v, img, epoch, True
+            )
+            return (gv, lv, dv, og, od, img, recon), metrics
+
+        img0 = jnp.zeros((raw_u8.shape[1], img_size, img_size, 3), jnp.float32)
+        carry0 = (gv, lv, dv, og, od, img0, img0)
+        (gv, lv, dv, og, od, img, recon), metrics = jax.lax.scan(
+            body, carry0, (raw_u8, keys)
+        )
+        return gv, lv, dv, og, od, img, recon, metrics
+
+    def multi(gv, lv, dv, og, od, raw_u8, keys, epoch):
+        return _multi(gv, lv, dv, og, od, lpips_vars, raw_u8, keys, epoch)
+
+    return multi
 
 
 def main(opt, max_steps: int | None = None):
@@ -274,13 +332,51 @@ def main(opt, max_steps: int | None = None):
         b, _ = pad_to_multiple({"img": img}, n_dev)
         return shard_batch(mesh, b)["img"]
 
+    # K steps per dispatch via lax.scan — see train/stage2.py for rationale
+    spd = int(tr.get("steps_per_dispatch", 1))
+    multi_fn = (
+        make_ae_scan_step(
+            network, disc, lpips, lpips_vars, opt_gen, opt_disc,
+            float(tr["w_kl"]), int(tr["pretrain"]),
+            augment=aug_train, true_b=int(tr["bs"]), img_size=img_size,
+        )
+        if spd > 1
+        else None
+    )
+    stacked_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data")
+    )
+
     for epoch in range(tr["n_epochs"]):
         t0 = time.time()
         lr = scheds[0].lr
 
         logger_train.reset()
         loss_recon = float("nan")
-        for i, batch in enumerate(train_loader.epoch_iter(epoch)):
+
+        def log_metrics(metrics):
+            logger_train.append(metrics)
+            wandb_sink.log({f"train_{k}": v for k, v in metrics.items()})
+
+        # deferred-fetch pipeline — see train/stage2.py: a chunk's metrics
+        # (and recon grid tensors) are fetched only once the next chunk is
+        # dispatched, overlapping its host→device transfer with compute
+        pending: list = []
+
+        def drain(all_pending: bool = False):
+            nonlocal loss_recon, last_recon
+            while pending and (all_pending or len(pending) > 1):
+                metrics, n, img_d, recon_d = pending.pop(0)
+                metrics = jax.device_get(metrics)
+                for j in range(n):
+                    log_metrics({k: float(v[j]) for k, v in metrics.items()})
+                loss_recon = float(metrics["Loss_recon"][-1])
+                last_recon = (np.asarray(img_d), np.asarray(recon_d))
+
+        def run_single(batch):
+            nonlocal gen_vars, logvar, disc_vars, opt_g_state, opt_d_state
+            nonlocal actnorm_done, global_step, loss_recon, last_recon
+            drain(all_pending=True)
             key = jax.random.fold_in(root_key, global_step)
             img = prep(batch, True, key)
 
@@ -303,12 +399,50 @@ def main(opt, max_steps: int | None = None):
             )
             metrics = {k: float(v) for k, v in metrics.items()}
             loss_recon = metrics["Loss_recon"]
-            logger_train.append(metrics)
-            wandb_sink.log({f"train_{k}": v for k, v in metrics.items()})
+            log_metrics(metrics)
             last_recon = (np.asarray(img), np.asarray(recon))
             global_step += 1
+
+        def run_chunk(chunk):
+            nonlocal gen_vars, logvar, disc_vars, opt_g_state, opt_d_state
+            nonlocal global_step
+            raws = np.stack([b["seq_raw"] for b in chunk])  # (K,B,T,H,W,3) u8
+            rem = (-raws.shape[1]) % n_dev
+            if rem:
+                raws = np.concatenate([raws, np.repeat(raws[:, -1:], rem, axis=1)], 1)
+            keys = jnp.stack(
+                [jax.random.fold_in(root_key, global_step + j) for j in range(len(chunk))]
+            )
+            gen_vars, logvar, disc_vars, opt_g_state, opt_d_state, img, recon, metrics = (
+                multi_fn(
+                    gen_vars, logvar, disc_vars, opt_g_state, opt_d_state,
+                    jax.device_put(raws, stacked_sharding), keys, jnp.asarray(epoch),
+                )
+            )
+            global_step += len(chunk)
+            pending.append((metrics, len(chunk), img, recon))
+            drain()  # fetch the PREVIOUS chunk while this one executes
+
+        chunk = []
+        for batch in train_loader.epoch_iter(epoch):
+            full = batch["seq_raw"].shape[0] == tr["bs"]
+            steps_left = (max_steps - global_step - len(chunk)) if max_steps else spd
+            if multi_fn is not None and actnorm_done and full and steps_left >= spd:
+                chunk.append(batch)
+                if len(chunk) == spd:
+                    run_chunk(chunk)
+                    chunk = []
+            else:
+                for b in chunk:
+                    run_single(b)
+                chunk = []
+                run_single(batch)
             if max_steps and global_step >= max_steps:
                 break
+        if not (max_steps and global_step >= max_steps):
+            for b in chunk:  # epoch tail shorter than one chunk
+                run_single(b)
+        drain(all_pending=True)
 
         # plateau schedulers stepped on the last train recon loss
         set_lr(opt_g_state, scheds[0].step(loss_recon))
