@@ -45,6 +45,10 @@ def main():
     parser.add_argument("-seq_length", type=int, default=16)
     parser.add_argument("-bs", type=int, default=6, help="Batchsize")
     parser.add_argument("-seed", type=int, default=0)
+    # TPU-only addition over the reference flag surface: shard each sampling
+    # batch over all visible chips (weights replicated, batch data-parallel)
+    parser.add_argument("-data_parallel", action="store_true",
+                        help="sample data-parallel over all devices")
     args = parser.parse_args()
 
     from image2video_synthesis_using_cinns_tpu.models.facade import Model
@@ -54,7 +58,10 @@ def main():
     ckpt_path = args.ckpt_path or f"./models/{path_ds}/stage2/"
     img_path = f"./assets/GT_samples/{path_ds}/"
 
-    model = Model(ckpt_path, args.seq_length, seed=args.seed)
+    model = Model(
+        ckpt_path, args.seq_length, seed=args.seed,
+        data_parallel=args.data_parallel,
+    )
     img_res = model.config_stage1.Data["img_size"]
     imgs = load_images(img_path, img_res)
 

@@ -47,10 +47,19 @@ class Model:
         use_pallas: bool = True,
         allow_random_init: bool = False,
         compute_dtype: str = "float32",
+        data_parallel: bool = False,
     ):
         """``compute_dtype='bfloat16'`` runs the decoder in bf16 (the
         TPU-native serving dtype, ~3-4x faster); the flow inverse stays fp32
-        for exact invertibility. Outputs are always fp32."""
+        for exact invertibility. Outputs are always fp32.
+
+        ``data_parallel=True`` serves ``forward`` over ALL visible devices:
+        weights replicated, the batch sharded on a 1-D ``data`` mesh (XLA
+        derives the collectives — there are none in this embarrassingly
+        parallel path, so scaling is linear in chips). Batches are padded to
+        a device multiple and unpadded on return; single-device behaviour is
+        unchanged. DP-vs-single-device numeric parity is tested on the
+        8-device CPU mesh (tests/test_parallel.py)."""
         self.config = cfg.load(_join(model_path, "config_stage2.yaml"))
         opt = self.config
         path_stage1 = _join(
@@ -123,6 +132,35 @@ class Model:
             self.flow_vars = _splice(self.flow_vars, "embedder", emb_vars)
 
         self._fn_cache: dict = {}
+
+        # ---- optional data-parallel serving mesh --------------------------
+        self.mesh = None
+        if data_parallel:
+            from ..parallel.mesh import make_mesh, replicate
+
+            self.mesh = make_mesh()
+            self.decoder_vars = replicate(self.mesh, self.decoder_vars)
+            self.flow_vars = replicate(self.mesh, self.flow_vars)
+            if self.encoder is not None:
+                self.encoder_vars = replicate(self.mesh, self.encoder_vars)
+
+    def _shard_rows(self, *arrays):
+        """Pad each array's leading (batch) axis to a device multiple and
+        shard it over the ``data`` mesh axis. Returns (padded arrays, true
+        batch)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = self.mesh.devices.size
+        b = arrays[0].shape[0]
+        rem = (-b) % n_dev
+        out = []
+        for a in arrays:
+            if rem:
+                a = jnp.concatenate([a, jnp.repeat(a[-1:], rem, axis=0)], axis=0)
+            out.append(
+                jax.device_put(a, NamedSharding(self.mesh, P("data")))
+            )
+        return out, b
 
     # ------------------------------------------------------------------
     def _load_or_init(self, module, ckpt_path, allow_random_init, init_args, init_rngs=None):
@@ -235,9 +273,18 @@ class Model:
             residual = jax.random.normal(self._next_key(), (b, self.z_dim))
         cond_extra = None if cond is None else jnp.asarray(cond)
 
+        if self.mesh is not None:
+            if cond_extra is None:
+                (x0_cl, residual), true_b = self._shard_rows(x0_cl, residual)
+            else:
+                (x0_cl, residual, cond_extra), true_b = self._shard_rows(
+                    x0_cl, residual, cond_extra
+                )
         seq, _ = self._sample_fn()(
             self.flow_vars, self.decoder_vars, x0_cl, cond_extra, residual
         )
+        if self.mesh is not None and seq.shape[0] != b:
+            seq = seq[:true_b]
         return jnp.transpose(seq, (0, 1, 4, 2, 3))  # (B,T,C,H,W)
 
     def _extend(self, seq, z):

@@ -249,6 +249,29 @@ def test_stage2_ae_dp_step_matches_single_device():
         assert bad.mean() < 0.10, f"disc_vars: {bad.mean():.1%} elements diverged"
 
 
+def test_facade_data_parallel_matches_single(tmp_path):
+    """Model(data_parallel=True): batch sharded over the 8-device mesh,
+    weights replicated; at identical injected ν the videos must match the
+    single-device facade — including a batch (3) that does not divide the
+    mesh (pad + unpad round-trip)."""
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.testing import make_model_dir
+
+    d = make_model_dir(str(tmp_path), preset="tiny") + "/"
+    m_single = Model(d, vid_length=8, seed=3)
+    m_dp = Model(d, vid_length=8, seed=3, data_parallel=True)
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, (3, 3, 32, 32)).astype(np.float32)
+    nu = rng.standard_normal((3, m_single.z_dim)).astype(np.float32)
+
+    v_single = np.asarray(m_single.forward(x0, residual=nu))
+    v_dp = np.asarray(m_dp.forward(x0, residual=nu))
+    assert v_dp.shape == v_single.shape == (3, 8, 3, 32, 32)
+    # batch-8 (padded) vs batch-3 programs fuse differently → ~1e-5 noise
+    np.testing.assert_allclose(v_dp, v_single, rtol=1e-3, atol=1e-4)
+
+
 def test_pad_to_multiple():
     batch = {"x": jnp.ones((5, 3))}
     padded, true_b = pad_to_multiple(batch, 4)
