@@ -156,7 +156,8 @@ for name, spec in DATASETS.items():
                      "bs": 50, "bs_eval": 10, "control": False,
                      "verbose_idx": 30, "weight_decay": 0, "gamma": 0.5,
                      "step_size": s2["step_size"], "beta1": 0.9, "beta2": 0.99,
-                     "amsgrad": True, "savename": "INSERT_NAME_HERE",
+                     "amsgrad": True, "steps_per_dispatch": 8,
+                     "savename": "INSERT_NAME_HERE",
                      "save_path": "INSERT_PATH_HERE"},
         "Data": data_section(d, aug, extra=s2.get("data_extra")),
         "Logging": {"entity": "INSERT_WANDB_NAME", "project": "INSERT_PROJECT_NAME",
@@ -172,6 +173,7 @@ for name, spec in DATASETS.items():
                                 "use_actnorm": True, "spectral_norm": True},
         "Training": {"w_kl": ae["w_kl"], "n_epochs": ae["n_epochs"], "lr": 2e-4,
                      "bs": 30, "weight_decay": 0, "workers": 30, "pretrain": 20,
+                     "steps_per_dispatch": 8,
                      "savename": "INSERT_NAME_HERE",
                      "save_path": "INSERT_PATH_HERE"},
         "Data": data_section(d, ae["aug"], seq_len=1, extra=ae.get("data_extra")),
@@ -194,6 +196,7 @@ write("configs/stage2/bair_control_config.yaml", {
                  "bs_eval": 10, "control": True, "control_dim": 3,
                  "verbose_idx": 30, "weight_decay": 0, "gamma": 0.5,
                  "step_size": 7, "beta1": 0.9, "beta2": 0.99, "amsgrad": True,
+                 "steps_per_dispatch": 8,
                  "savename": "INSERT_NAME_HERE", "save_path": "INSERT_PATH_HERE"},
     "Data": data_section(bair["data"], bair["aug"]),
     "Logging": {"entity": "INSERT_WANDB_NAME", "project": "INSERT_PROJECT_NAME",
