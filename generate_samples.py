@@ -45,10 +45,14 @@ def main():
     parser.add_argument("-seq_length", type=int, default=16)
     parser.add_argument("-bs", type=int, default=6, help="Batchsize")
     parser.add_argument("-seed", type=int, default=0)
-    # TPU-only addition over the reference flag surface: shard each sampling
-    # batch over all visible chips (weights replicated, batch data-parallel)
+    # TPU-only additions over the reference flag surface: shard each sampling
+    # batch over all visible chips (weights replicated, batch data-parallel),
+    # and serve the decoder in bf16 (the benchmarked fast path — BASELINE.md)
     parser.add_argument("-data_parallel", action="store_true",
                         help="sample data-parallel over all devices")
+    parser.add_argument("-compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="decoder serving dtype (flow stays fp32)")
     args = parser.parse_args()
 
     from image2video_synthesis_using_cinns_tpu.models.facade import Model
@@ -60,7 +64,7 @@ def main():
 
     model = Model(
         ckpt_path, args.seq_length, seed=args.seed,
-        data_parallel=args.data_parallel,
+        data_parallel=args.data_parallel, compute_dtype=args.compute_dtype,
     )
     img_res = model.config_stage1.Data["img_size"]
     imgs = load_images(img_path, img_res)
