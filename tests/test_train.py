@@ -155,6 +155,74 @@ def test_stage2_resume(tmp_path, data_dir):
     assert np.isfinite(second["train_loss"]).all()
 
 
+def test_preemption_guard_signal():
+    """SIGTERM flips should_stop; restore() reinstates the prior handler
+    (SURVEY §5.3 — TPU pools preempt with SIGTERM)."""
+    import signal
+
+    from image2video_synthesis_using_cinns_tpu.utils.preemption import (
+        PreemptionGuard,
+    )
+
+    guard = PreemptionGuard()
+    assert not guard.should_stop
+    signal.raise_signal(signal.SIGTERM)
+    assert guard.should_stop
+    guard.restore()
+    assert signal.getsignal(signal.SIGTERM) is not guard._handler
+
+
+def test_stage2_preemption_checkpoints_and_resumes(tmp_path, data_dir, monkeypatch):
+    """A preemption signal mid-epoch must end the epoch early but still write
+    the atomic cINN_latest checkpoint, and a fresh run must resume from it —
+    the full §5.3 story, driven through the real trainer loop."""
+    import image2video_synthesis_using_cinns_tpu.train.stage2 as s2
+
+    class FakeGuard:
+        """Trips after the trainer has polled should_stop twice (i.e. after
+        two optimisation steps)."""
+
+        def __init__(self):
+            self.polls = 0
+
+        @property
+        def should_stop(self):
+            self.polls += 1
+            return self.polls > 2
+
+        def restore(self):
+            pass
+
+    monkeypatch.setattr(s2, "PreemptionGuard", FakeGuard)
+    root = str(tmp_path / "ckpts")
+    stage2_dir = make_model_dir(root, preset="tiny")
+    opt = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+    opt.Data["data_path"] = data_dir
+    opt.Training["bs"] = 2
+    opt.Training["bs_eval"] = 2
+    opt.Training["workers"] = 2
+    opt.Training["n_epochs"] = 5  # preemption must cut this short
+    opt.Training["save_path"] = str(tmp_path / "out")
+    first = s2.main(opt, eval_fvd=False)
+    latest = os.path.join(first["save_path"], "cINN_latest.msgpack")
+    assert os.path.exists(latest), "preempted run must leave a resume ckpt"
+    from image2video_synthesis_using_cinns_tpu.utils import checkpoint as ckpt_io
+
+    assert int(ckpt_io.load(latest)["epoch"]) == 1, "stopped during epoch 0"
+
+    monkeypatch.undo()
+    opt2 = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+    opt2.Data["data_path"] = data_dir
+    opt2.Training["bs"] = 2
+    opt2.Training["bs_eval"] = 2
+    opt2.Training["workers"] = 2
+    opt2.Training["n_epochs"] = 2
+    opt2.Training["save_path"] = str(tmp_path / "out2")
+    opt2.Training["reload_path"] = first["save_path"]
+    second = s2.main(opt2, max_steps=1, eval_fvd=False)
+    assert np.isfinite(second["train_loss"]).all()
+
+
 def test_stage1_scan_steps_match_single(tmp_path, data_dir):
     """Training.steps_per_dispatch=K on the stage-1 trainer: the scanned
     chunk (lax.scan over the fused whole-step with on-device augmentation)
