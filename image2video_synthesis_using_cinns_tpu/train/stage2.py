@@ -298,6 +298,7 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
     best_PFVD = 999.0
     global_step = 0
     start_epoch = 0
+    frozen_host = buffers_host = None  # cached per-run (frozen nets)
 
     # resume (an addition over the reference, which has no stage-2 resume —
     # SURVEY §5.3); reload_path points at a previous run directory
@@ -466,15 +467,26 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             except FileNotFoundError:
                 eval_fvd = False  # I3D weights not available; skip silently
 
+        # One host fetch per epoch for the state both checkpoints share: the
+        # frozen embedder (~100MB, never changes) and shuffle buffers are
+        # fetched once per run, flow params + optimiser state once per epoch
+        # — each device_get streams the full tree through the relay, so the
+        # old per-save fetches doubled a multi-second epoch cost.
+        if frozen_host is None:
+            frozen_host = jax.device_get(frozen)
+            buffers_host = jax.device_get(buffers)
+        flow_host = jax.device_get(flow_params)
+        opt_host = jax.device_get(opt_state)
+        net_vars_out = {
+            "params": {"flow": flow_host, "embedder": frozen_host},
+            "buffers": buffers_host,
+        }
+
         metric = PFVD if PFVD == PFVD else loss_track_test.log()[0]
         if metric < best_PFVD:
-            net_vars_out = {
-                "params": {"flow": jax.device_get(flow_params), "embedder": jax.device_get(frozen)},
-                "buffers": jax.device_get(buffers),
-            }
             ckpt_io.save(
                 os.path.join(save_path, "cINN.msgpack"),
-                ckpt_io.get_save_dict(net_vars_out, jax.device_get(opt_state), epoch),
+                ckpt_io.get_save_dict(net_vars_out, opt_host, epoch),
             )
             best_PFVD = metric
 
@@ -483,14 +495,8 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             os.path.join(save_path, "cINN_latest.msgpack"),
             {
                 "epoch": epoch + 1,
-                "state_dict": {
-                    "params": {
-                        "flow": jax.device_get(flow_params),
-                        "embedder": jax.device_get(frozen),
-                    },
-                    "buffers": jax.device_get(buffers),
-                },
-                "optim_state_dict": jax.device_get(opt_state),
+                "state_dict": net_vars_out,
+                "optim_state_dict": opt_host,
             },
         )
 
