@@ -91,6 +91,21 @@ def _activation_fn(model: I3DModel, input_range: tuple[float, float]):
     return run
 
 
+def activation_fn(model: I3DModel, input_range: tuple[float, float] = (-1.0, 1.0)):
+    """Public jitted per-batch activation program — lets callers stream
+    activations from on-device videos (train/fvd_eval.py) without a host
+    round-trip of the raw clips."""
+    return _activation_fn(model, input_range)
+
+
+def prep_dt_time(videos: jax.Array, length: int) -> jax.Array:
+    """Device-side analogue of ``_prep_dt`` (reference DTFVD_Score.py:174)."""
+    if length == 16:
+        return jnp.concatenate([videos] * 3, axis=1)[:, :16]
+    assert videos.shape[1] == 32, "DTFVD-32 requires 32-frame videos"
+    return videos
+
+
 def get_activations(
     model: I3DModel,
     videos,

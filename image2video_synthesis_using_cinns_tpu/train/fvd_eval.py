@@ -15,15 +15,39 @@ import numpy as np
 from ..metrics import fvd as fvd_mod
 
 
-def _to_host_batches(fn, loader, aug, *args, max_batches=None):
-    gen, orig = [], []
+def _stream_fvd(run, loader, model, max_batches=None, keep_clips=0):
+    """Stream I3D activations from on-device clips, one jitted program per
+    eval batch, fetching only the (N, 400/1024) activations at the end.
+
+    The round-1 path collected every generated + real clip to the host and
+    re-uploaded them for scoring — ~60 MB of relay traffic per eval batch;
+    streaming fetches ~100 KB instead. Per-sample activations are identical
+    (I3D is deterministic per clip; only the activation batching changes).
+    ``keep_clips`` additionally keeps host copies of the first clips for the
+    per-epoch sample-video dump.
+    """
+    act_fn = fvd_mod.activation_fn(model, (-1.0, 1.0))
+    dt_len = {"dt16": 16, "dt32": 32}.get(model.kind)
+    acts_g, acts_o, host_g, host_o, kept = [], [], [], [], 0
     for i, batch in enumerate(loader.epoch_iter(0)):
         if max_batches and i >= max_batches:
             break
-        g, o = fn(batch, *args)
-        gen.append(np.asarray(g))
-        orig.append(np.asarray(o))
-    return np.concatenate(gen, 0), np.concatenate(orig, 0)
+        g, o = run(batch)
+        if kept < keep_clips:  # raw (untiled) clips for the GIF dump
+            host_g.append(g)
+            host_o.append(o)
+            kept += int(g.shape[0])
+        if dt_len is not None:
+            g = fvd_mod.prep_dt_time(g, dt_len)
+            o = fvd_mod.prep_dt_time(o, dt_len)
+        acts_g.append(act_fn(model.variables, g))
+        acts_o.append(act_fn(model.variables, o))
+    # single sync: all dispatches above overlap, fetched together here
+    act1 = np.concatenate([np.asarray(a) for a in acts_g], 0)
+    act2 = np.concatenate([np.asarray(a) for a in acts_o], 0)
+    host_g = np.concatenate([np.asarray(a) for a in host_g], 0) if host_g else None
+    host_o = np.concatenate([np.asarray(a) for a in host_o], 0) if host_o else None
+    return act1, act2, host_g, host_o
 
 
 def evaluate_FVD_posterior(loader, aug, bundle, state, mode: str = "FVD",
@@ -40,9 +64,10 @@ def evaluate_FVD_posterior(loader, aug, bundle, state, mode: str = "FVD",
         g = recon(state.dec_vars, state.enc_vars, seq, jax.random.PRNGKey(1))
         return g, seq[:, 1:]
 
-    gen, orig = _to_host_batches(run, loader, aug, max_batches=max_batches)
-    bs = batch_size if mode == "FVD" else 40
-    return float(fvd_mod.calculate_FVD(model, gen, orig, bs))
+    act1, act2, _, _ = _stream_fvd(run, loader, model, max_batches=max_batches)
+    from ..metrics.frechet import frechet_from_activations
+
+    return float(frechet_from_activations(act1, act2))
 
 
 def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
@@ -67,10 +92,13 @@ def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
         g = sample(net_vars, gen_vars, seq, cond_pos, jax.random.PRNGKey(epoch))
         return g, seq[:, 1:]
 
-    gen, orig = _to_host_batches(run, loader, aug, max_batches=max_batches)
+    act1, act2, gen, orig = _stream_fvd(
+        run, loader, model, max_batches=max_batches, keep_clips=40
+    )
 
     # dump a few random sampled clips next to ground truth (reference
-    # utils/auxiliaries.py:105-108 logs 10 random samples per epoch)
+    # utils/auxiliaries.py:105-108 logs 10 random samples per epoch; drawn
+    # from the first ~40 clips here — the rest stay on device)
     try:
         from ..utils.video import plot_vid
 
@@ -90,5 +118,6 @@ def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
     except Exception:
         pass
 
-    bs = batch_size if mode == "FVD" else 40
-    return float(fvd_mod.calculate_FVD(model, gen, orig, bs))
+    from ..metrics.frechet import frechet_from_activations
+
+    return float(frechet_from_activations(act1, act2))

@@ -77,3 +77,73 @@ def test_official_protocol_grouping(kin_model, rng, monkeypatch):
     r = rng.uniform(-1, 1, (1, 16, 16, 3, 32, 32)).astype(np.float32)
     score = fvd_mod.compute_fvd_official_protocol(g, r)
     assert np.isfinite(score)
+
+
+class _FakeLoader:
+    """Minimal loader: yields deterministic uint8 clip batches."""
+
+    def __init__(self, n_batches=3, bs=2, t=16, img=32, seed=0):
+        self._batches = []
+        r = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            self._batches.append(
+                {"seq_raw": r.integers(0, 255, (bs, t, img, img, 3), dtype=np.uint8)}
+            )
+
+    def epoch_iter(self, _epoch):
+        yield from self._batches
+
+
+def _fake_run(batch):
+    """Deterministic stand-in for the sample/recon program: clips in [-1,1]."""
+    seq = jnp.asarray(batch["seq_raw"]).astype(jnp.float32) / 127.5 - 1.0
+    return seq * 0.9, seq  # 'generated' vs 'real'
+
+
+def test_streaming_fvd_matches_collected(kin_model):
+    """train/fvd_eval streams I3D activations from on-device clips (no host
+    round-trip of the videos); the score must equal the collect-then-score
+    path on the same clips."""
+    from image2video_synthesis_using_cinns_tpu.metrics.frechet import (
+        frechet_from_activations,
+    )
+    from image2video_synthesis_using_cinns_tpu.train import fvd_eval
+
+    loader = _FakeLoader()
+    act1, act2, host_g, host_o = fvd_eval._stream_fvd(
+        _fake_run, loader, kin_model, keep_clips=4
+    )
+    assert host_g.shape[0] >= 4 and host_o.shape[0] >= 4
+    streamed = frechet_from_activations(act1, act2)
+
+    gen = np.concatenate(
+        [np.asarray(_fake_run(b)[0]) for b in loader._batches], 0
+    )
+    orig = np.concatenate(
+        [np.asarray(_fake_run(b)[1]) for b in loader._batches], 0
+    )
+    collected = fvd_mod.calculate_FVD(kin_model, gen, orig, batch_size=2)
+    np.testing.assert_allclose(streamed, collected, rtol=1e-3, atol=1e-4)
+
+
+def test_streaming_fvd_dt16_tiling(rng):
+    """The DT-16 time-tiling happens on device in the streaming path and must
+    match the host _prep_dt semantics."""
+    from image2video_synthesis_using_cinns_tpu.metrics.frechet import (
+        frechet_from_activations,
+    )
+    from image2video_synthesis_using_cinns_tpu.train import fvd_eval
+
+    model = _random_model("dt16")
+    loader = _FakeLoader(n_batches=2, t=8)
+    act1, act2, _, _ = fvd_eval._stream_fvd(_fake_run, loader, model)
+    streamed = frechet_from_activations(act1, act2)
+
+    gen = np.concatenate(
+        [np.asarray(_fake_run(b)[0]) for b in loader._batches], 0
+    )
+    orig = np.concatenate(
+        [np.asarray(_fake_run(b)[1]) for b in loader._batches], 0
+    )
+    collected = fvd_mod.calculate_FVD(model, gen, orig, batch_size=2)
+    np.testing.assert_allclose(streamed, collected, rtol=1e-3, atol=1e-4)
