@@ -334,17 +334,25 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
         # ---------------- validate ----------------
         log_test.reset()
         sequences_eval = None
+        # deferred fetch: metrics (and the last batch's recon video) stay on
+        # device until after the loop — one host sync for the whole eval pass
+        eval_metrics, last_eval = [], None
         for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
             key = jax.random.fold_in(root_key, 20_000_000 + epoch * 10_000 + i)
             seq = prep(batch, False, key)
             metrics, seq_gen = eval_fn(state.dec_vars, state.enc_vars, seq, key)
+            eval_metrics.append(metrics)
+            last_eval = (seq_gen, seq)
+            if max_steps and i >= 1:
+                break
+        for metrics in jax.device_get(eval_metrics):
             log_test.append({k: float(v) for k, v in metrics.items()})
+        if last_eval is not None:
+            seq_gen, seq = last_eval
             sequences_eval = [
                 np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
                 np.transpose(np.asarray(seq[:, 1:]), (0, 1, 4, 2, 3)),
             ]
-            if max_steps and i >= 1:
-                break
 
         if sequences_eval is not None:
             # reference logs the eval recon video too (stage1_VAE/main.py:82-83)

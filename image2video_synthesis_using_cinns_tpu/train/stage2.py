@@ -440,15 +440,21 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
         # ---------------- eval ----------------
         loss_track_test.reset()
+        # deferred fetch: one host sync for the whole eval pass (see the AE
+        # trainer) — per-batch dispatches overlap, values unchanged
+        eval_auxs = []
         for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
             key = jax.random.fold_in(root_key, 10_000_000 + epoch * 10_000 + i)
             sharded, _ = prep_batch(batch, False, key)
-            aux = eval_fn(flow_params, frozen, buffers, sharded["seq"], sharded["cond"], key)
+            eval_auxs.append(
+                eval_fn(flow_params, frozen, buffers, sharded["seq"], sharded["cond"], key)
+            )
+            if max_steps and i >= 2:
+                break
+        for aux in jax.device_get(eval_auxs):
             aux = {k: float(v) for k, v in aux.items()}
             loss_track_test.append(aux)
             wandb_sink.log({f"eval_{k}": v for k, v in aux.items()})
-            if max_steps and i >= 2:
-                break
 
         # ---------------- FVD(prior) + checkpoints ----------------
         PFVD = float("nan")

@@ -454,6 +454,10 @@ def main(opt, max_steps: int | None = None):
             wandb_sink.log_image("images_train", grid, caption="Reconstructions")
 
         logger_eval.reset()
+        # metrics stay on device until after the loop: one host sync fetches
+        # the whole eval pass, so the per-batch dispatches overlap instead of
+        # serialising on a metric fetch each (relay RPC) — values unchanged
+        eval_metrics = []
         for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
             key = jax.random.fold_in(root_key, 30_000_000 + epoch * 10_000 + i)
             img = prep(batch, False, key)
@@ -461,9 +465,11 @@ def main(opt, max_steps: int | None = None):
                 gen_vars, logvar, disc_vars, opt_g_state, opt_d_state,
                 img, jnp.asarray(epoch),
             )
-            logger_eval.append({k: float(v) for k, v in metrics.items()})
+            eval_metrics.append(metrics)
             if max_steps and i >= 1:
                 break
+        for metrics in jax.device_get(eval_metrics):
+            logger_eval.append({k: float(v) for k, v in metrics.items()})
 
         if logger_eval.log()[1] < best_val:
             best_val = logger_eval.log()[1]
