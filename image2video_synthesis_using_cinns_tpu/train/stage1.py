@@ -381,8 +381,10 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             "DISC_t": (host_state.disc_t_vars, host_state.opt_dt),
             "DISC_s": (host_state.disc_s_vars, host_state.opt_ds),
         }
+        # async writes: serialize+write overlaps the next epoch (flushed by
+        # ckpt_io.wait() before return) — see utils/checkpoint.py
         for name, (vars_, opt_state) in saves.items():
-            ckpt_io.save(
+            ckpt_io.save_async(
                 os.path.join(save_path, f"latest_checkpoint_{name}.msgpack"),
                 {
                     "epoch": epoch + 1,
@@ -395,7 +397,7 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
         if metric < best_PFVD:
             for name in ("GEN", "ENC"):
                 vars_, opt_state = saves[name]
-                ckpt_io.save(
+                ckpt_io.save_async(
                     os.path.join(save_path, f"best_PFVD_{name}.msgpack"),
                     {
                         "epoch": epoch + 1,
@@ -425,4 +427,5 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             break
 
     guard.restore()
+    ckpt_io.wait()  # flush queued checkpoint writes before handing back
     return {"save_path": save_path, "best_metric": best_PFVD, "state": state}

@@ -490,14 +490,16 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
 
         metric = PFVD if PFVD == PFVD else loss_track_test.log()[0]
         if metric < best_PFVD:
-            ckpt_io.save(
+            # async: the ~350MB serialize+write runs on the checkpoint writer
+            # thread, overlapping the next epoch (ckpt_io.wait() before return)
+            ckpt_io.save_async(
                 os.path.join(save_path, "cINN.msgpack"),
                 ckpt_io.get_save_dict(net_vars_out, opt_host, epoch),
             )
             best_PFVD = metric
 
         # crash/preemption-resume checkpoint (atomic write)
-        ckpt_io.save(
+        ckpt_io.save_async(
             os.path.join(save_path, "cINN_latest.msgpack"),
             {
                 "epoch": epoch + 1,
@@ -519,6 +521,7 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             break
 
     guard.restore()
+    ckpt_io.wait()  # flush queued checkpoint writes before handing back
     return {
         "save_path": save_path,
         "best_metric": best_PFVD,

@@ -474,7 +474,8 @@ def main(opt, max_steps: int | None = None):
         if logger_eval.log()[1] < best_val:
             best_val = logger_eval.log()[1]
             enc_vars = _extract_encoder(jax.device_get(gen_vars))
-            ckpt_io.save(
+            # async write, flushed before return — see utils/checkpoint.py
+            ckpt_io.save_async(
                 os.path.join(save_path, "Encoder_stage2.msgpack"),
                 {"state_dict": enc_vars},
             )
@@ -486,6 +487,7 @@ def main(opt, max_steps: int | None = None):
         if max_steps and global_step >= max_steps:
             break
 
+    ckpt_io.wait()  # flush queued checkpoint writes before handing back
     return {
         "save_path": save_path,
         "best_val": best_val,

@@ -16,6 +16,8 @@ checkpoint — the preemption-safe half of crash-resume (reference keeps only
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Any
 
 import flax.serialization
@@ -37,6 +39,49 @@ def save(path: str, payload: dict) -> None:
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+# ---- async writer ---------------------------------------------------------
+# Serialize+write runs at disk speed (~20 MB/s here): a full stage-2 payload
+# costs 20-40 s per file, which dominated the epoch wall-clock when written
+# inline (BASELINE.md "Epoch-scale validation"). One daemon thread drains a
+# FIFO queue, so epoch N+1's compute overlaps epoch N's writes while
+# preserving write order (and tmp+rename atomicity) per path. Payloads must
+# be host trees the caller no longer mutates — the trainers pass freshly
+# device_get'ed state.
+_write_q: queue.Queue | None = None
+_write_errs: list = []
+
+
+def _writer_loop() -> None:
+    while True:
+        item = _write_q.get()
+        try:
+            if item is not None:
+                save(*item)
+        except Exception as e:  # surfaced by wait()
+            _write_errs.append(e)
+        finally:
+            _write_q.task_done()
+
+
+def save_async(path: str, payload: dict) -> None:
+    """Queue an atomic checkpoint write on the background writer thread.
+    Call :func:`wait` before reading the file or exiting the trainer."""
+    global _write_q
+    if _write_q is None:
+        _write_q = queue.Queue()
+        threading.Thread(target=_writer_loop, daemon=True).start()
+    _write_q.put((path, payload))
+
+
+def wait() -> None:
+    """Block until all queued checkpoint writes hit disk; re-raise the first
+    writer error, if any."""
+    if _write_q is not None:
+        _write_q.join()
+    if _write_errs:
+        raise _write_errs.pop(0)
 
 
 def restore_into(target: Any, state_dict: Any) -> Any:

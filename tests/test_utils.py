@@ -89,3 +89,15 @@ def test_step_timer():
         _ = jnp.sum(jnp.ones((100, 100)))
     assert t.last_ms > 0
     assert t.ema_ms == t.last_ms
+
+
+def test_checkpoint_save_async_orders_and_flushes(tmp_path):
+    """save_async: FIFO per path (last write wins), wait() flushes to disk,
+    and the file is a normal loadable checkpoint."""
+    p = str(tmp_path / "ck.msgpack")
+    for i in range(3):
+        ckpt_io.save_async(p, {"epoch": i, "state_dict": {"w": np.full((4,), i, np.float32)}})
+    ckpt_io.wait()
+    payload = ckpt_io.load(p)
+    assert int(payload["epoch"]) == 2
+    np.testing.assert_array_equal(payload["state_dict"]["w"], np.full((4,), 2, np.float32))
