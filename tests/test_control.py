@@ -95,3 +95,39 @@ def test_embed_pos_matches_reference_formula_at_boundaries():
     for d in range(3):
         ref[np.arange(pos.shape[0]), d * n + np.clip(idx[:, d], 0, n - 1)] = 1
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_control_scan_steps_match_single(tmp_path, control_dir):
+    """steps_per_dispatch on the CONTROL variant (the shipped
+    bair_control config defaults to 8): the scanned chunk must thread the
+    (K, B, 3) endpoint positions through the scan and reproduce K single
+    dispatches exactly."""
+    import jax
+
+    from image2video_synthesis_using_cinns_tpu.train.stage2 import main
+    from image2video_synthesis_using_cinns_tpu.utils import checkpoint as ckpt_io
+
+    data_dir = make_bair_data_dir(
+        str(tmp_path / "data") + "/", n_videos=10,
+        img=PRESETS["tiny"]["img_size"], modes=("train", "eval"),
+    )
+
+    def run(spd, out_name):
+        opt = cfg.load(os.path.join(control_dir, "config_stage2.yaml"))
+        opt.Data["data_path"] = data_dir
+        opt.Training["bs"] = 2
+        opt.Training["bs_eval"] = 2
+        opt.Training["workers"] = 2
+        opt.Training["n_epochs"] = 1
+        opt.Training["steps_per_dispatch"] = spd
+        opt.Training["save_path"] = str(tmp_path / out_name)
+        out = main(opt, max_steps=5, eval_fvd=False)
+        payload = ckpt_io.load(os.path.join(out["save_path"], "cINN_latest.msgpack"))
+        return payload["state_dict"]["params"]["flow"], out["train_loss"]
+
+    flow_a, loss_a = run(1, "single")
+    flow_b, loss_b = run(2, "scanned")
+
+    np.testing.assert_allclose(np.asarray(loss_a), np.asarray(loss_b), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(flow_a), jax.tree.leaves(flow_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
