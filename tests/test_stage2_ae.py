@@ -97,6 +97,11 @@ def test_ae_scan_steps_match_single(tmp_path):
     from image2video_synthesis_using_cinns_tpu.utils import checkpoint as ckpt_io
 
     P = dict(PRESETS["tiny"])
+    # norm='bn' (the landscape-family AE) is the riskiest norm under the
+    # scan: BatchNorm running stats must thread through the carry exactly as
+    # the per-step path's mutable refresh does ('in' stays covered by the AE
+    # training smoke)
+    P["ae_norm"] = "bn"
     data_dir = make_bair_data_dir(
         str(tmp_path / "data") + "/", n_videos=10, img=64, modes=("train", "eval")
     )
