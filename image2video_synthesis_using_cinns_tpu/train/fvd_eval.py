@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..metrics import fvd as fvd_mod
+from ..metrics.frechet import frechet_from_activations
 
 
 def _stream_fvd(run, loader, model, max_batches=None, keep_clips=0):
@@ -51,7 +52,7 @@ def _stream_fvd(run, loader, model, max_batches=None, keep_clips=0):
 
 
 def evaluate_FVD_posterior(loader, aug, bundle, state, mode: str = "FVD",
-                           batch_size: int = 20, max_batches=None) -> float:
+                           max_batches=None) -> float:
     model = fvd_mod.load_model("kinetics" if mode == "FVD" else "dt16")
 
     @jax.jit
@@ -65,15 +66,13 @@ def evaluate_FVD_posterior(loader, aug, bundle, state, mode: str = "FVD",
         return g, seq[:, 1:]
 
     act1, act2, _, _ = _stream_fvd(run, loader, model, max_batches=max_batches)
-    from ..metrics.frechet import frechet_from_activations
-
     return float(frechet_from_activations(act1, act2))
 
 
 def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
                        z_dim: int, opt, epoch: int, mode: str = "FVD",
-                       control: bool = False, batch_size: int = 20,
-                       max_batches=None, wandb_sink=None) -> float:
+                       control: bool = False, max_batches=None,
+                       wandb_sink=None) -> float:
     model = fvd_mod.load_model("kinetics" if mode == "FVD" else "dt16")
 
     @jax.jit
@@ -117,7 +116,5 @@ def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
             wandb_sink.log_video("eval_video", gif)
     except Exception:
         pass
-
-    from ..metrics.frechet import frechet_from_activations
 
     return float(frechet_from_activations(act1, act2))

@@ -307,7 +307,10 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
         chunk: list = []
         for batch in train_loader.epoch_iter(epoch):
             full = batch["seq_raw"].shape[0] == tr["bs"]
-            steps_left = (max_steps - global_step - len(chunk)) if max_steps else spd
+            # a full chunk consumes spd steps INCLUDING the ones already
+            # accumulated in `chunk` (global_step has not advanced for them
+            # yet), so the headroom check must not subtract len(chunk)
+            steps_left = (max_steps - global_step) if max_steps else spd
             if multi_fn is not None and actnorm_done and full and steps_left >= spd:
                 chunk.append(batch)
                 if len(chunk) == spd:

@@ -45,10 +45,12 @@ def save(path: str, payload: dict) -> None:
 # Serialize+write runs at disk speed (~20 MB/s here): a full stage-2 payload
 # costs 20-40 s per file, which dominated the epoch wall-clock when written
 # inline (BASELINE.md "Epoch-scale validation"). One daemon thread drains a
-# FIFO queue, so epoch N+1's compute overlaps epoch N's writes while
+# bounded FIFO queue, so epoch N+1's compute overlaps epoch N's writes while
 # preserving write order (and tmp+rename atomicity) per path. Payloads must
 # be host trees the caller no longer mutates — the trainers pass freshly
-# device_get'ed state.
+# device_get'ed state. The queue bound (~one epoch of stage-1 saves) gives
+# backpressure instead of unbounded host-memory growth when disk is slower
+# than the epoch loop.
 _write_q: queue.Queue | None = None
 _write_errs: list = []
 
@@ -59,29 +61,45 @@ def _writer_loop() -> None:
         try:
             if item is not None:
                 save(*item)
-        except Exception as e:  # surfaced by wait()
+        except Exception as e:
+            # surfaced by the NEXT save_async (fail fast, while device state
+            # is still alive) or by wait()
             _write_errs.append(e)
         finally:
             _write_q.task_done()
 
 
+def _raise_pending() -> None:
+    if _write_errs:
+        errs, first = list(_write_errs), _write_errs[0]
+        _write_errs.clear()
+        if len(errs) > 1:
+            raise RuntimeError(
+                f"{len(errs)} checkpoint writes failed; first: {errs[0]!r}"
+            ) from first
+        raise first
+
+
 def save_async(path: str, payload: dict) -> None:
     """Queue an atomic checkpoint write on the background writer thread.
-    Call :func:`wait` before reading the file or exiting the trainer."""
+
+    Raises any error from PREVIOUS queued writes immediately (a persistent
+    disk failure must not silently discard every later checkpoint). Call
+    :func:`wait` before reading the file or exiting the trainer."""
     global _write_q
+    _raise_pending()
     if _write_q is None:
-        _write_q = queue.Queue()
+        _write_q = queue.Queue(maxsize=8)
         threading.Thread(target=_writer_loop, daemon=True).start()
-    _write_q.put((path, payload))
+    _write_q.put((path, payload))  # blocks (backpressure) when 8 writes deep
 
 
 def wait() -> None:
-    """Block until all queued checkpoint writes hit disk; re-raise the first
-    writer error, if any."""
+    """Block until all queued checkpoint writes hit disk; re-raise writer
+    errors (all drained, first one raised)."""
     if _write_q is not None:
         _write_q.join()
-    if _write_errs:
-        raise _write_errs.pop(0)
+    _raise_pending()
 
 
 def restore_into(target: Any, state_dict: Any) -> Any:
