@@ -117,6 +117,11 @@ def get_activations(
     run = _activation_fn(model, input_range)
     n = videos.shape[0]
     bs = min(batch_size, n)
+    # Deliberate: the n % bs trailing clips are DROPPED, exactly like the
+    # reference's FID-matching batching (n_batches = N // bs, leftover never
+    # scored — /root/reference/metrics/PyTorch_FVD/FVD_logging.py:100-127).
+    # Pass a divisor batch_size to score every clip. The streaming trainer
+    # path (train/fvd_eval.py) scores every clip instead — see its docstring.
     n_batches = n // bs
     outs = []
     for i in range(n_batches):

@@ -23,9 +23,14 @@ def _stream_fvd(run, loader, model, max_batches=None, keep_clips=0):
     The round-1 path collected every generated + real clip to the host and
     re-uploaded them for scoring — ~60 MB of relay traffic per eval batch;
     streaming fetches ~100 KB instead. Per-sample activations are identical
-    (I3D is deterministic per clip; only the activation batching changes).
-    ``keep_clips`` additionally keeps host copies of the first clips for the
-    per-epoch sample-video dump.
+    (I3D is deterministic per clip), but the sample POPULATION differs from
+    the batched ``metrics.fvd.get_activations`` path: that path drops the
+    N % batch_size trailing clips (reference FID-matching behaviour,
+    FVD_logging.py:100-127) while streaming scores every clip — so FVD/PFVD
+    values are only comparable across runs using the same path when the eval
+    set size is not a multiple of the activation batch size (noted in
+    BASELINE.md). ``keep_clips`` additionally keeps host copies of the first
+    clips for the per-epoch sample-video dump.
     """
     act_fn = fvd_mod.activation_fn(model, (-1.0, 1.0))
     dt_len = {"dt16": 16, "dt32": 32}.get(model.kind)

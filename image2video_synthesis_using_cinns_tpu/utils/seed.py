@@ -29,3 +29,23 @@ def step_rngs(root: jax.Array, step: int, names: tuple[str, ...]):
     key = jax.random.fold_in(root, step)
     keys = jax.random.split(key, len(names))
     return dict(zip(names, keys))
+
+
+def require_partitionable_threefry() -> None:
+    """Fail loudly if ``jax_threefry_partitionable`` is off.
+
+    The scanned multi-step trainers (``steps_per_dispatch > 1``) augment the
+    mesh-PADDED batch and rely on per-element random bits being prefix-stable
+    across batch sizes (``jax.random.split(key, B_pad)[:b] ==
+    jax.random.split(key, b)``) to reproduce the single-step trajectory
+    exactly. That holds only under the partitionable threefry lowering
+    (default-on in this JAX, but user-overridable via env/config); with it
+    disabled the scanned and single-step trajectories would silently diverge.
+    """
+    if not jax.config.jax_threefry_partitionable:
+        raise RuntimeError(
+            "steps_per_dispatch > 1 requires jax_threefry_partitionable=True "
+            "(the scanned chunk's documented 'identical trajectory' guarantee "
+            "relies on prefix-stable jax.random.split across batch sizes); "
+            "re-enable it or set Training.steps_per_dispatch: 1."
+        )

@@ -56,6 +56,18 @@ def test_dtfvd_time_tiling(rng):
     assert np.isfinite(score)
 
 
+def test_activation_tail_drop_pinned(kin_model, rng):
+    """get_activations drops the N % batch_size trailing clips — deliberate
+    parity with the reference's FID-matching batching (n_batches = N // bs,
+    /root/reference/metrics/PyTorch_FVD/FVD_logging.py:100-127)."""
+    vids = rng.uniform(-1, 1, (7, 16, 32, 32, 3)).astype(np.float32)
+    acts = fvd_mod.get_activations(kin_model, vids, batch_size=3)
+    assert acts.shape[0] == 6  # (7 // 3) * 3 clips scored, 1 dropped
+    full = fvd_mod.get_activations(kin_model, vids, batch_size=7)
+    assert full.shape[0] == 7
+    np.testing.assert_allclose(acts, full[:6], rtol=2e-4, atol=2e-4)
+
+
 def test_activations_invariant_to_batch_sign(kin_model, rng):
     # Denorm follows the *declared* input_range, not batch content: an
     # all-nonnegative batch in [-1,1] must be preprocessed exactly like any
