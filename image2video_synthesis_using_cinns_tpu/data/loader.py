@@ -48,6 +48,8 @@ class Loader:
         seed: int = 0,
         prefetch: int = 4,
         framestore=None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -57,6 +59,12 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.framestore = framestore
+        # Multi-host input pipeline (parallel/distributed.py): every process
+        # computes the SAME global batch order from the shared seed, then
+        # decodes only its contiguous block of each batch. batch_size stays
+        # the GLOBAL batch size.
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -86,6 +94,13 @@ class Loader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        if self.process_count > 1:
+            from ..parallel.distributed import host_batch_slice
+
+            batches_idx = [
+                idxs[host_batch_slice(len(idxs), self.process_index, self.process_count)]
+                for idxs in batches_idx
+            ]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
