@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from datetime import datetime
 
 import jax
@@ -32,12 +33,20 @@ from ..models.stage1.decoder import Generator
 from ..models.stage1.patch_disc import NLayerDiscriminator
 from ..models.stage1.resnet3d import Discriminator, Encoder
 from ..models.layers import merge_actnorm_init
-from ..parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from ..parallel.distributed import make_global_batch, maybe_initialize, put_global
+from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
 from ..utils.preemption import PreemptionGuard, maybe_enable_debug_nans
 from ..utils.seed import set_seed
 from ..utils.video import plot_vid
+from .chunks import (
+    DeferredFetch,
+    chunk_keys,
+    drive_epoch,
+    iter_step_metrics,
+    stack_chunk_raws,
+)
 from .optim import LRController, adam_torch, set_lr
 from .stage1_step import (
     Stage1Bundle,
@@ -90,8 +99,23 @@ def build_stage1(opt, rng_key):
 
 
 def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
-    maybe_enable_debug_nans()
     guard = PreemptionGuard()
+    try:
+        return _main(opt, guard, max_steps=max_steps, eval_fvd=eval_fvd)
+    finally:
+        # Flush queued async checkpoint writes on EVERY exit path (the writer
+        # is a daemon thread — an exception mid-epoch would silently discard
+        # queued latest_checkpoint_* files), and only then drop the SIGTERM
+        # guard so a second preemption signal cannot kill the flush.
+        ckpt_io.wait()
+        guard.restore()
+
+
+def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
+    maybe_enable_debug_nans()
+    # opt-in multi-host: jax.distributed.initialize + per-host input pipeline
+    # (parallel/distributed.py); (0, 1) in the default single-process case
+    proc_i, proc_n = maybe_initialize(opt.Training.get("distributed"))
     root_key = set_seed(42)
     bundle, dec_vars, enc_vars, dt_vars, ds_vars = build_stage1(opt, root_key)
 
@@ -109,10 +133,12 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
     train_loader = Loader(
         train_ds, tr["bs"], workers=tr["workers"], seed=42,
         framestore=open_or_build(train_ds, fs_spec, "train"),
+        process_index=proc_i, process_count=proc_n,
     )
     eval_loader = Loader(
         eval_ds, tr["bs_eval"], workers=tr["workers"], seed=43,
         framestore=open_or_build(eval_ds, fs_spec, "eval"),
+        process_index=proc_i, process_count=proc_n,
     )
     aug_p, rcrop, _ = augment_params(opt, "train")
     aug_train = build_augment(opt.Data["img_size"], aug_p, rcrop, True)
@@ -215,9 +241,16 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
     sequences = None
 
     def prep(batch, train, key):
+        """Returns (batch-sharded global seq, true_b). ``true_b`` is None
+        when no padding was needed; the jitted steps slice back to it so no
+        loss, metric or GP term ever sees a pad row (see
+        make_stage1_train_step). Multi-host: the batch holds only this
+        host's rows (parallel/distributed.py)."""
+        if proc_n > 1:
+            key = jax.random.fold_in(key, 1000 + proc_i)  # host-local aug stream
         seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
-        b, _ = pad_to_multiple({"seq": seq}, n_dev)
-        return shard_batch(mesh, b)["seq"]
+        b, true_b = make_global_batch(mesh, {"seq": seq})
+        return b["seq"], true_b
 
     for epoch in range(start_epoch, tr["n_epochs"]):
         epoch_time = time.time()
@@ -230,39 +263,37 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
             log_train.append(metrics)
             wandb_sink.log(metrics)
 
-        # Deferred-fetch pipeline — see train/stage2.py: a chunk's metrics
-        # (and the last (seq_gen, seq) pair for the epoch GIF) are fetched
-        # only once the next chunk is dispatched, overlapping its uint8
-        # host→device transfer with compute.
-        pending: list = []
-
-        def drain(all_pending: bool = False):
+        # Deferred-fetch pipeline + chunk accumulation: shared machinery in
+        # train/chunks.py; the payload carries the last (seq_gen, seq) pair
+        # for the epoch GIF alongside the stacked metrics.
+        def on_payload(payload):
             nonlocal sequences
-            while pending and (all_pending or len(pending) > 1):
-                metrics, n, gen_d, seq_d = pending.pop(0)
-                metrics = jax.device_get(metrics)
-                for j in range(n):
-                    log_metrics({k: float(v[j]) for k, v in metrics.items()})
-                # plot_vid expects the torch (B,T,C,H,W) layout
-                sequences = [
-                    np.transpose(np.asarray(gen_d), (0, 1, 4, 2, 3)),
-                    np.transpose(np.asarray(seq_d)[:, 1:], (0, 1, 4, 2, 3)),
-                ]
+            metrics, n, gen_d, seq_d = payload
+            for m in iter_step_metrics(metrics, n):
+                log_metrics(m)
+            # plot_vid expects the torch (B,T,C,H,W) layout
+            sequences = [
+                np.transpose(np.asarray(gen_d), (0, 1, 4, 2, 3)),
+                np.transpose(np.asarray(seq_d)[:, 1:], (0, 1, 4, 2, 3)),
+            ]
+
+        fetches = DeferredFetch(on_payload)
 
         def run_single(batch):
             nonlocal state, actnorm_done, global_step, sequences
-            drain(all_pending=True)
+            fetches.drain(all_pending=True)
             key = jax.random.fold_in(root_key, global_step)
-            seq = prep(batch, True, key)
+            seq, tb = prep(batch, True, key)
 
             if not actnorm_done:
-                # patch-disc ActNorm data-dependent init on the first batch
-                frames = seq.reshape((-1,) + seq.shape[2:])[:20]
+                # patch-disc ActNorm data-dependent init on the first batch's
+                # TRUE rows (slice inside jit; pad rows would bias the stats)
                 _, upd = jax.jit(
-                    lambda v, x: bundle.disc_s.apply(
-                        v, x, train=True, mutable=["actnorm_stats"]
+                    lambda v, s: bundle.disc_s.apply(
+                        v, s[:tb].reshape((-1,) + s.shape[2:])[:20],
+                        train=True, mutable=["actnorm_stats"],
                     )
-                )(state.disc_s_vars, frames)
+                )(state.disc_s_vars, seq)
                 new_ds_params = merge_actnorm_init(
                     state.disc_s_vars["params"], upd["actnorm_stats"]
                 )
@@ -274,61 +305,43 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
                 actnorm_done = True
 
             state, metrics, seq_gen = step_fn(
-                state, seq, jnp.asarray(epoch), jax.random.fold_in(key, 1)
+                state, seq, jnp.asarray(epoch), jax.random.fold_in(key, 1),
+                true_b=tb,
             )
             log_metrics({k: float(v) for k, v in metrics.items()})
-            # plot_vid expects the torch (B,T,C,H,W) layout
+            # plot_vid expects the torch (B,T,C,H,W) layout; seq_gen is
+            # already sliced to the true batch by the step, match it for seq
             sequences = [
                 np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
-                np.transpose(np.asarray(seq[:, 1:]), (0, 1, 4, 2, 3)),
+                np.transpose(np.asarray(seq)[:tb, 1:], (0, 1, 4, 2, 3)),
             ]
             global_step += 1
 
         def run_chunk(chunk):
             nonlocal state, global_step
-            raws = np.stack([b["seq_raw"] for b in chunk])  # (K,B,T,H,W,3) u8
-            # pad B to the mesh multiple; the scan body re-pads the AUGMENTED
-            # clip into these rows so the trajectory matches the single path
-            # exactly (see make_stage1_scan_step)
-            rem = (-raws.shape[1]) % n_dev
-            if rem:
-                raws = np.concatenate([raws, np.repeat(raws[:, -1:], rem, axis=1)], 1)
-            keys = jnp.stack(
-                [jax.random.fold_in(root_key, global_step + j) for j in range(len(chunk))]
-            )
+            # pad to the LOCAL device multiple (multi-host: divisible global
+            # batch asserted, so no padding there)
+            raws = stack_chunk_raws(chunk, n_dev // proc_n)  # (K,B,T,H,W,3) u8
+            keys = chunk_keys(root_key, global_step, len(chunk))
             state, metrics, seq_gen, seq = multi_fn(
-                state, jax.device_put(raws, stacked_sharding),
+                state, put_global(stacked_sharding, raws, batch_axis=1),
                 jnp.asarray(epoch), keys,
             )
             global_step += len(chunk)
-            pending.append((metrics, len(chunk), seq_gen, seq))
-            drain()  # fetch the PREVIOUS chunk while this one executes
+            fetches.push((metrics, len(chunk), seq_gen, seq))
 
-        chunk: list = []
-        for batch in train_loader.epoch_iter(epoch):
-            full = batch["seq_raw"].shape[0] == tr["bs"]
-            # a full chunk consumes spd steps INCLUDING the ones already
-            # accumulated in `chunk` (global_step has not advanced for them
-            # yet), so the headroom check must not subtract len(chunk)
-            steps_left = (max_steps - global_step) if max_steps else spd
-            if multi_fn is not None and actnorm_done and full and steps_left >= spd:
-                chunk.append(batch)
-                if len(chunk) == spd:
-                    run_chunk(chunk)
-                    chunk = []
-            else:
-                for b in chunk:
-                    run_single(b)
-                chunk = []
-                run_single(batch)
-            if max_steps and global_step >= max_steps:
-                break
-            if guard.should_stop:
-                break
-        if not guard.should_stop and not (max_steps and global_step >= max_steps):
-            for b in chunk:  # epoch tail shorter than one chunk
-                run_single(b)
-        drain(all_pending=True)
+        drive_epoch(
+            train_loader.epoch_iter(epoch),
+            full_bs=tr["bs"],
+            spd=spd,
+            chunk_ready=lambda: multi_fn is not None and actnorm_done,
+            run_single=run_single,
+            run_chunk=run_chunk,
+            steps_done=lambda: global_step,
+            max_steps=max_steps,
+            interrupted=lambda: guard.should_stop,
+        )
+        fetches.drain(all_pending=True)
 
         if sequences is not None:
             gif = plot_vid(opt, sequences, epoch, mode="train")
@@ -342,19 +355,21 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
         eval_metrics, last_eval = [], None
         for i, batch in enumerate(eval_loader.epoch_iter(epoch)):
             key = jax.random.fold_in(root_key, 20_000_000 + epoch * 10_000 + i)
-            seq = prep(batch, False, key)
-            metrics, seq_gen = eval_fn(state.dec_vars, state.enc_vars, seq, key)
+            seq, tb = prep(batch, False, key)
+            metrics, seq_gen = eval_fn(
+                state.dec_vars, state.enc_vars, seq, key, true_b=tb
+            )
             eval_metrics.append(metrics)
-            last_eval = (seq_gen, seq)
+            last_eval = (seq_gen, seq, tb)
             if max_steps and i >= 1:
                 break
         for metrics in jax.device_get(eval_metrics):
             log_test.append({k: float(v) for k, v in metrics.items()})
         if last_eval is not None:
-            seq_gen, seq = last_eval
+            seq_gen, seq, tb = last_eval
             sequences_eval = [
                 np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
-                np.transpose(np.asarray(seq[:, 1:]), (0, 1, 4, 2, 3)),
+                np.transpose(np.asarray(seq)[:tb, 1:], (0, 1, 4, 2, 3)),
             ]
 
         if sequences_eval is not None:
@@ -372,7 +387,16 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
                     eval_loader, aug_eval, bundle, state, tr.get("FVD", "FVD")
                 )
                 wandb_sink.log({"FVD": PFVD})
-            except FileNotFoundError:
+            except FileNotFoundError as e:
+                # Loud, once-per-run: a typo'd models/ path must not silently
+                # cost the run its model-selection metric (reference fails
+                # hard instead, stage1_VAE/main.py:96).
+                warnings.warn(
+                    "posterior-FVD evaluation disabled for the rest of this "
+                    f"run: I3D weights not found ({e}); best-checkpoint "
+                    "selection falls back to eval loss and the PFVD CSV "
+                    "column stays NaN."
+                )
                 eval_fvd = False
 
         # ---------------- checkpoints ----------------
@@ -425,10 +449,9 @@ def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
         if max_steps and global_step >= max_steps:
             break
         if guard.should_stop:
-            # latest checkpoints were just written atomically; exit cleanly so
-            # the next attempt resumes via Training.reload_path
+            # latest checkpoints were just queued atomically (flushed by the
+            # main() finally); exit cleanly so the next attempt resumes via
+            # Training.reload_path
             break
 
-    guard.restore()
-    ckpt_io.wait()  # flush queued checkpoint writes before handing back
     return {"save_path": save_path, "best_metric": best_PFVD, "state": state}

@@ -35,6 +35,37 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked 'slow' (multi-minute trainer drives)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute trainer-drive test, deselected by default — "
+        "run with --runslow (everything) or -m slow (only these)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default ``pytest -q`` runs the fast suite; the heavy trainer drives
+    (stage-1 scan parity, fused-step, DP divisible-batch variants, preemption
+    drive) compile multi-program stage-1 graphs on CPU and are opt-in via
+    ``--runslow`` / ``-m slow`` (round-2 verdict, Weak #7: the full suite had
+    ballooned past an hour)."""
+    if config.getoption("--runslow"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return  # explicit -m expression mentioning 'slow': let pytest filter
+    skip = pytest.mark.skip(reason="slow trainer drive: use --runslow or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
