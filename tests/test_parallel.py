@@ -285,6 +285,7 @@ def test_pad_to_multiple():
     assert same["x"].shape == (5, 3) and true_b is None
 
 
+@pytest.mark.slow
 def test_stage1_dp_step_nondivisible_batch_matches_true_batch():
     """THE round-2 verdict gap: at a batch that does not divide the mesh
     (B=10 on 8 devices, the shipped stage-1 default), the padded DP step must

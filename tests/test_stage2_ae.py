@@ -83,6 +83,7 @@ def test_ae_training_smoke(tmp_path, monkeypatch):
     assert images and images[0][0] == "images_train"
 
 
+@pytest.mark.slow
 def test_ae_scan_steps_match_single(tmp_path):
     """Training.steps_per_dispatch=K on the AE trainer: the scanned chunk
     must reproduce K sequential single-step dispatches exactly (per-step

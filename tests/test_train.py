@@ -440,6 +440,7 @@ def test_stage1_fused_step_matches_split():
             )
 
 
+@pytest.mark.slow
 def test_stage1_bf16_step_close_to_fp32():
     """Training.compute_dtype=bfloat16 runs the heavy forwards in bf16 with
     fp32 params/losses; one step must stay finite and track the fp32 step."""
