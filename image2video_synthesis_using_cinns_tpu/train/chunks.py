@@ -34,6 +34,9 @@ from typing import Any, Callable, Iterable, Iterator
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.distributed import put_global
 
 
 class DeferredFetch:
@@ -62,19 +65,65 @@ def iter_step_metrics(stacked: dict, n: int) -> Iterator[dict]:
         yield {k: float(v[j]) for k, v in stacked.items()}
 
 
-def stack_chunk_raws(chunk: list, n_dev: int) -> np.ndarray:
-    """Stack K batches' uint8 clips into (K, B, T, H, W, 3) and pad B to the
-    mesh multiple by repeating the last clip (the scan steps are built with
-    the static true batch size and ignore the pad rows)."""
-    raws = np.stack([b["seq_raw"] for b in chunk])
-    return pad_chunk_axis(raws, n_dev)
-
-
 def pad_chunk_axis(arr: np.ndarray, n_dev: int) -> np.ndarray:
+    """Pad axis 1 (the batch axis of a stacked (K, B, ...) chunk) to the mesh
+    multiple by repeating the last row (the scan steps are built with the
+    static true batch size and ignore the pad rows)."""
     rem = (-arr.shape[1]) % n_dev
     if rem:
         arr = np.concatenate([arr, np.repeat(arr[:, -1:], rem, axis=1)], 1)
     return arr
+
+
+def pad_batch_rows(arr: np.ndarray, n_dev: int) -> np.ndarray:
+    """Per-batch variant of :func:`pad_chunk_axis`: pad axis 0 (B) of one
+    (B, ...) batch to the mesh multiple by repeating the last row."""
+    rem = (-arr.shape[0]) % n_dev
+    if rem:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], rem, axis=0)], 0)
+    return arr
+
+
+def make_chunk_stager(mesh: Mesh, n_dev_local: int, axis_name: str = "data"):
+    """Eager per-batch H2D staging for the chunk path.
+
+    Round 2 shipped each chunk's uint8 clips as ONE stacked (K, B, T, H, W, 3)
+    ``device_put`` issued right before the scan dispatch. At full stage-2 size
+    (bs=50, K=8) that is an ~83 MB transfer serialized against the dispatch —
+    and on a host link that streams tens of MB/s (this rig's relay; measured
+    in BASELINE.md "Epoch-scale" round 3) the input stream, not compute,
+    bounds the epoch, making spd=8 *slower* than spd=1.
+
+    This stager instead issues one small async ``device_put`` per batch AS IT
+    ARRIVES from the loader — the transfer overlaps the previous chunk's
+    compute and the loader's own decode — and assembles the (K, B, ...) chunk
+    ON DEVICE with a tiny jitted stack (HBM-bandwidth copy + one dispatch).
+    Values are bit-identical to the host-stacked path: same uint8 bytes, same
+    pad rows, same key schedule.
+
+    Returns ``(stage, stack_staged)``: ``stage(batch) -> batch'`` adds the
+    staged device array under ``"_dev_seq"`` (pass as ``drive_epoch``'s
+    ``stage`` hook; the original host fields stay, so a tail flush through
+    the single-step path still works), and ``stack_staged(chunk)`` returns
+    the (K, B_padded, ...) device array for the scan step.
+    """
+    row_sharding = NamedSharding(mesh, P(axis_name))
+    stacked_sharding = NamedSharding(mesh, P(None, axis_name))
+    stack = jax.jit(lambda *xs: jnp.stack(xs), out_shardings=stacked_sharding)
+
+    def stage(batch: dict) -> dict:
+        staged = dict(batch)
+        staged["_dev_seq"] = put_global(
+            row_sharding,
+            pad_batch_rows(np.asarray(batch["seq_raw"]), n_dev_local),
+            batch_axis=0,
+        )
+        return staged
+
+    def stack_staged(chunk: list) -> jax.Array:
+        return stack(*[b["_dev_seq"] for b in chunk])
+
+    return stage, stack_staged
 
 
 def chunk_keys(root_key: jax.Array, global_step: int, k: int) -> jax.Array:
@@ -95,6 +144,7 @@ def drive_epoch(
     steps_done: Callable[[], int],
     max_steps: int | None = None,
     interrupted: Callable[[], bool] | None = None,
+    stage: Callable[[dict], dict] | None = None,
 ) -> bool:
     """Drive one training epoch, chunking full batches when possible.
 
@@ -102,9 +152,13 @@ def drive_epoch(
     prerequisites like ActNorm init done). ``steps_done()`` reports the
     global step count, polled after every dispatch. ``interrupted()`` is the
     preemption poll (polled once per source batch, after the max_steps
-    check, matching the round-2 in-trainer ordering). Returns True when the
-    epoch was cut short (max_steps reached or interrupted) — in that case
-    the accumulated tail is NOT flushed, matching the prior behaviour.
+    check, matching the round-2 in-trainer ordering). ``stage`` (optional)
+    is applied to each batch as it is accumulated into a chunk — the
+    :func:`make_chunk_stager` hook that starts the batch's async H2D
+    transfer immediately so it overlaps the previous chunk's compute.
+    Returns True when the epoch was cut short (max_steps reached or
+    interrupted) — in that case the accumulated tail is NOT flushed,
+    matching the prior behaviour.
     """
     chunk: list = []
     stopped = False
@@ -112,7 +166,7 @@ def drive_epoch(
         full = batch["seq_raw"].shape[0] == full_bs
         steps_left = (max_steps - steps_done()) if max_steps else spd
         if spd > 1 and chunk_ready() and full and steps_left >= spd:
-            chunk.append(batch)
+            chunk.append(stage(batch) if stage is not None else batch)
             if len(chunk) == spd:
                 run_chunk(chunk)
                 chunk = []

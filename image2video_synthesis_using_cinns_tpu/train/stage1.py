@@ -33,7 +33,7 @@ from ..models.stage1.decoder import Generator
 from ..models.stage1.patch_disc import NLayerDiscriminator
 from ..models.stage1.resnet3d import Discriminator, Encoder
 from ..models.layers import merge_actnorm_init
-from ..parallel.distributed import make_global_batch, maybe_initialize, put_global
+from ..parallel.distributed import make_global_batch, maybe_initialize
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
@@ -45,7 +45,7 @@ from .chunks import (
     chunk_keys,
     drive_epoch,
     iter_step_metrics,
-    stack_chunk_raws,
+    make_chunk_stager,
 )
 from .optim import LRController, adam_torch, set_lr
 from .stage1_step import (
@@ -224,8 +224,11 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         if spd > 1
         else None
     )
-    stacked_sharding = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, "data")
+    # eager per-batch H2D staging for the chunk path (see make_chunk_stager)
+    stage_fn, stack_staged = (
+        make_chunk_stager(mesh, n_dev // proc_n)
+        if multi_fn is not None
+        else (None, None)
     )
 
     scheds = [
@@ -319,13 +322,12 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
 
         def run_chunk(chunk):
             nonlocal state, global_step
-            # pad to the LOCAL device multiple (multi-host: divisible global
-            # batch asserted, so no padding there)
-            raws = stack_chunk_raws(chunk, n_dev // proc_n)  # (K,B,T,H,W,3) u8
+            # clips were staged batch-by-batch as they arrived (async puts,
+            # padded to the LOCAL device multiple — multi-host asserts a
+            # divisible global batch); assemble the (K,B,...) chunk on device
             keys = chunk_keys(root_key, global_step, len(chunk))
             state, metrics, seq_gen, seq = multi_fn(
-                state, put_global(stacked_sharding, raws, batch_axis=1),
-                jnp.asarray(epoch), keys,
+                state, stack_staged(chunk), jnp.asarray(epoch), keys,
             )
             global_step += len(chunk)
             fetches.push((metrics, len(chunk), seq_gen, seq))
@@ -340,6 +342,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             steps_done=lambda: global_step,
             max_steps=max_steps,
             interrupted=lambda: guard.should_stop,
+            stage=stage_fn,
         )
         fetches.drain(all_pending=True)
 

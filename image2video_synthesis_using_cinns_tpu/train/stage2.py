@@ -54,8 +54,8 @@ from .chunks import (
     chunk_keys,
     drive_epoch,
     iter_step_metrics,
+    make_chunk_stager,
     pad_chunk_axis,
-    stack_chunk_raws,
 )
 from .optim import LRController, adam_torch, get_lr, set_lr
 
@@ -331,6 +331,14 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     stacked_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data")
     )
+    # eager per-batch H2D staging for the chunk path (see make_chunk_stager:
+    # one big host-stacked put per chunk serialises the uint8 stream with the
+    # dispatch and bounds the epoch on slow host links)
+    stage_fn, stack_staged = (
+        make_chunk_stager(mesh, n_dev // proc_n)
+        if multi_fn is not None
+        else (None, None)
+    )
 
     lr_ctrl = LRController(
         opt.Training["lr"], "step",
@@ -441,9 +449,10 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
 
         def run_chunk(chunk):
             nonlocal flow_params, opt_state, global_step
-            # pad to the LOCAL device multiple (multi-host: global batch is
-            # asserted divisible, so no padding happens there)
-            raws = stack_chunk_raws(chunk, n_dev // proc_n)  # (K,B,T,H,W,3) u8
+            # clips were staged batch-by-batch as they arrived (async puts
+            # padded to the LOCAL device multiple — multi-host asserts a
+            # divisible global batch); assemble the (K,B,...) chunk on device
+            raws = stack_staged(chunk)
             if control:
                 conds = pad_chunk_axis(
                     np.stack([np.asarray(b["cond"], np.float32) for b in chunk]),
@@ -453,8 +462,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                 conds = np.zeros(raws.shape[:2] + (3,), np.float32)
             keys = chunk_keys(root_key, global_step, len(chunk))
             flow_params, opt_state, auxs = multi_fn(
-                flow_params, opt_state, frozen, buffers,
-                put_global(stacked_sharding, raws, batch_axis=1),
+                flow_params, opt_state, frozen, buffers, raws,
                 put_global(stacked_sharding, conds, batch_axis=1),
                 keys,
             )
@@ -471,6 +479,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             steps_done=lambda: global_step,
             max_steps=max_steps,
             interrupted=lambda: guard.should_stop,
+            stage=stage_fn,
         )
         fetches.drain(all_pending=True)
 

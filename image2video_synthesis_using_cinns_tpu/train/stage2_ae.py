@@ -36,7 +36,7 @@ from ..models.backbones.lpips import LPIPS
 from ..models.layers import merge_actnorm_init
 from ..models.stage1.patch_disc import NLayerDiscriminator
 from ..models.stage2.biggan import BigAE
-from ..parallel.distributed import make_global_batch, maybe_initialize, put_global
+from ..parallel.distributed import make_global_batch, maybe_initialize
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
@@ -46,7 +46,7 @@ from .chunks import (
     chunk_keys,
     drive_epoch,
     iter_step_metrics,
-    stack_chunk_raws,
+    make_chunk_stager,
 )
 from .optim import LRController, adam_torch, set_lr
 from .stage1_step import join_vars, split_vars
@@ -389,8 +389,11 @@ def _main(opt, max_steps: int | None = None):
         if spd > 1
         else None
     )
-    stacked_sharding = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, "data")
+    # eager per-batch H2D staging for the chunk path (see make_chunk_stager)
+    stage_fn, stack_staged = (
+        make_chunk_stager(mesh, n_dev // proc_n)
+        if multi_fn is not None
+        else (None, None)
     )
 
     for epoch in range(tr["n_epochs"]):
@@ -454,15 +457,14 @@ def _main(opt, max_steps: int | None = None):
         def run_chunk(chunk):
             nonlocal gen_vars, logvar, disc_vars, opt_g_state, opt_d_state
             nonlocal global_step
-            # pad to the LOCAL device multiple (multi-host: divisible global
-            # batch asserted, so no padding there)
-            raws = stack_chunk_raws(chunk, n_dev // proc_n)  # (K,B,T,H,W,3) u8
+            # clips were staged batch-by-batch as they arrived (async puts,
+            # padded to the LOCAL device multiple — multi-host asserts a
+            # divisible global batch); assemble the (K,B,...) chunk on device
             keys = chunk_keys(root_key, global_step, len(chunk))
             gen_vars, logvar, disc_vars, opt_g_state, opt_d_state, img, recon, metrics = (
                 multi_fn(
                     gen_vars, logvar, disc_vars, opt_g_state, opt_d_state,
-                    put_global(stacked_sharding, raws, batch_axis=1),
-                    keys, jnp.asarray(epoch),
+                    stack_staged(chunk), keys, jnp.asarray(epoch),
                 )
             )
             global_step += len(chunk)
@@ -477,6 +479,7 @@ def _main(opt, max_steps: int | None = None):
             run_chunk=run_chunk,
             steps_done=lambda: global_step,
             max_steps=max_steps,
+            stage=stage_fn,
         )
         fetches.drain(all_pending=True)
 

@@ -27,7 +27,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: first run compiles (~minutes of XLA:CPU work
 # across the suite), subsequent runs replay from cache in seconds.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# I2V_TEST_JAX_CACHE overrides the location (set it to a fresh dir when the
+# checked-in cache was populated on a machine with different CPU features —
+# XLA loads such AOT results with a SIGILL warning and slightly different
+# codegen, which can shift trajectory-parity comparisons by ~1e-5).
+_CACHE_DIR = os.environ.get(
+    "I2V_TEST_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
