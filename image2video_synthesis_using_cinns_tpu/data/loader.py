@@ -50,6 +50,7 @@ class Loader:
         framestore=None,
         process_index: int = 0,
         process_count: int = 1,
+        tail_multiple: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -65,12 +66,33 @@ class Loader:
         # the GLOBAL batch size.
         self.process_index = process_index
         self.process_count = process_count
+        # Multi-host runs cannot pad indivisible batches (no per-process
+        # shape freedom in make_array_from_process_local_data), so even with
+        # a divisible Training.bs the drop_last=False TAIL batch (n % bs
+        # rows) would crash batch assembly. ``tail_multiple`` (trainers pass
+        # the global device count when Training.distributed is on) drops
+        # batches whose global size does not divide it — loudly, once.
+        self.tail_multiple = tail_multiple
+        self._warned_tail = False
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        full, rem = n // self.batch_size, n % self.batch_size
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return full
+        if rem and self.tail_multiple is not None and rem % self.tail_multiple:
+            if not self._warned_tail:
+                import warnings
+
+                warnings.warn(
+                    f"multi-host run: dropping the tail batch of {rem} clips "
+                    f"(not divisible by the {self.tail_multiple}-device mesh; "
+                    "pad rows cannot be assembled per-process — see "
+                    "parallel/distributed.py)"
+                )
+                self._warned_tail = True
+            return full  # indivisible tail batch is dropped
+        return full + (1 if rem else 0)
 
     def _load_item(self, idx: int, rng: np.random.Generator):
         item = self.dataset.sample(idx, rng)

@@ -27,16 +27,22 @@ Semantics and constraints (enforced loudly, not silently):
   runs. The single-host padding + static-``true_b``-slice path cannot be
   expressed here: pad rows would have to live on the last host only, which
   ``make_array_from_process_local_data`` has no per-process shape for. Use a
-  divisible ``Training.bs`` (assert in :func:`host_batch_slice`).
+  divisible ``Training.bs`` (assert in :func:`host_batch_slice`); the
+  loaders additionally DROP (loudly) an indivisible drop_last=False tail
+  batch (``Loader(tail_multiple=...)``) — it cannot be padded per-process
+  either.
 * every process must run the same trainer with the same config/seed: batch
   ORDER is identical across hosts (the loader shuffles from the shared
   seed), and each host takes rows ``[p·B/P, (p+1)·B/P)`` of each batch —
   matching the row-major device order of a ``P('data')`` sharding.
-* per-clip augmentation keys are derived host-locally (the trainers fold the
-  process index into the step key), so a multi-host trajectory is
-  deterministic but not bit-identical to the single-host run of the same
-  config — the per-clip RNG partition differs. (The reference has no
-  multi-device semantics to match at all.)
+* the trainers assemble the RAW uint8 batch into the global array first and
+  run the jitted augmentation on the global sharded rows, so per-clip
+  augmentation subkeys are indexed by GLOBAL row: a multi-host trajectory is
+  bit-identical to the single-host run of the same config (for the
+  mesh-divisible batches multi-host requires) and to the scanned
+  ``steps_per_dispatch`` chunk path. Training-time FVD pools the per-host
+  activation slices with ``process_allgather`` so every process scores the
+  full eval set and best-checkpoint selection agrees across hosts.
 """
 
 from __future__ import annotations

@@ -22,7 +22,8 @@ of each global batch, and ``make_global_batch`` assembles the per-host rows
 with ``jax.make_array_from_process_local_data``. ``make_mesh`` itself uses
 ``jax.devices()`` (global after initialisation), but batch construction and
 padding are NOT transparent across processes — see that module's constraints
-(divisible global batch, host-local augmentation streams).
+(divisible global batch, loud tail-batch dropping, global-row augmentation
+streams).
 """
 
 from __future__ import annotations

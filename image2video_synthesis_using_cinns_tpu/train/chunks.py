@@ -29,6 +29,7 @@ scan-vs-single parity tests in tests/test_train.py and tests/test_stage2_ae.py):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Iterable, Iterator
 
 import jax
@@ -126,11 +127,22 @@ def make_chunk_stager(mesh: Mesh, n_dev_local: int, axis_name: str = "data"):
     return stage, stack_staged
 
 
+@partial(jax.jit, static_argnames="k")
+def _chunk_keys(root_key: jax.Array, start, k: int) -> jax.Array:
+    return jax.vmap(lambda j: jax.random.fold_in(root_key, j))(
+        start + jnp.arange(k)
+    )
+
+
 def chunk_keys(root_key: jax.Array, global_step: int, k: int) -> jax.Array:
     """Per-step keys for a K-step chunk: step j consumes
     ``fold_in(root_key, global_step + j)`` exactly as the single-step path
-    does, so a scanned chunk reproduces K sequential single dispatches."""
-    return jnp.stack([jax.random.fold_in(root_key, global_step + j) for j in range(k)])
+    does, so a scanned chunk reproduces K sequential single dispatches.
+
+    One jitted program (fold_in is value-identical under vmap/trace) — the
+    eager version issued K fold_in dispatches plus a stack per chunk, which
+    on a 30-90 ms/dispatch relay link cost more than the fused scan saved."""
+    return _chunk_keys(root_key, global_step, k)
 
 
 def drive_epoch(

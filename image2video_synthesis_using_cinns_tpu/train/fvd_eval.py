@@ -51,6 +51,18 @@ def _stream_fvd(run, loader, model, max_batches=None, keep_clips=0):
     # single sync: all dispatches above overlap, fetched together here
     act1 = np.concatenate([np.asarray(a) for a in acts_g], 0)
     act2 = np.concatenate([np.asarray(a) for a in acts_o], 0)
+    if jax.process_count() > 1:
+        # multi-host: each process streamed activations for ITS slice of
+        # every eval batch (per-host loader, parallel/distributed.py); pool
+        # them so all hosts score the full eval set and best-checkpoint
+        # selection stays consistent across processes. Frechet stats are
+        # permutation-invariant, so host-block order is fine.
+        from jax.experimental import multihost_utils
+
+        act1 = np.asarray(multihost_utils.process_allgather(act1))
+        act2 = np.asarray(multihost_utils.process_allgather(act2))
+        act1 = act1.reshape(-1, act1.shape[-1])
+        act2 = act2.reshape(-1, act2.shape[-1])
     host_g = np.concatenate([np.asarray(a) for a in host_g], 0) if host_g else None
     host_o = np.concatenate([np.asarray(a) for a in host_o], 0) if host_o else None
     return act1, act2, host_g, host_o

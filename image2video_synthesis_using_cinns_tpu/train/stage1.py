@@ -33,7 +33,7 @@ from ..models.stage1.decoder import Generator
 from ..models.stage1.patch_disc import NLayerDiscriminator
 from ..models.stage1.resnet3d import Discriminator, Encoder
 from ..models.layers import merge_actnorm_init
-from ..parallel.distributed import make_global_batch, maybe_initialize
+from ..parallel.distributed import make_global_batch, maybe_initialize, put_global_batch
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
@@ -247,10 +247,18 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         """Returns (batch-sharded global seq, true_b). ``true_b`` is None
         when no padding was needed; the jitted steps slice back to it so no
         loss, metric or GP term ever sees a pad row (see
-        make_stage1_train_step). Multi-host: the batch holds only this
-        host's rows (parallel/distributed.py)."""
+        make_stage1_train_step).
+
+        Multi-host: the batch holds only this host's rows; the RAW uint8 is
+        assembled into the global array first and the jitted augmentation
+        runs on the global sharded rows — per-clip subkeys are indexed by
+        GLOBAL row, so the trajectory is bit-identical to a single-host run
+        and to the scanned chunk path, and the 4×-larger float batch never
+        round-trips through the host (parallel/distributed.py)."""
         if proc_n > 1:
-            key = jax.random.fold_in(key, 1000 + proc_i)  # host-local aug stream
+            g = put_global_batch(mesh, {"seq_raw": np.asarray(batch["seq_raw"])})
+            seq = (aug_train if train else aug_eval)(g["seq_raw"], key)
+            return seq, None
         seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
         b, true_b = make_global_batch(mesh, {"seq": seq})
         return b["seq"], true_b
@@ -334,7 +342,8 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
 
         drive_epoch(
             train_loader.epoch_iter(epoch),
-            full_bs=tr["bs"],
+            # the loader yields this host's rows (bs/proc_n in multi-host)
+            full_bs=tr["bs"] // proc_n,
             spd=spd,
             chunk_ready=lambda: multi_fn is not None and actnorm_done,
             run_single=run_single,

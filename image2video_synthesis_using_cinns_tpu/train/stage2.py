@@ -43,7 +43,12 @@ from ..models.facade import _splice
 from ..models.stage1.decoder import Generator
 from ..models.stage1.resnet3d import Encoder
 from ..models.stage2.inn import SupervisedTransformer
-from ..parallel.distributed import make_global_batch, maybe_initialize, put_global
+from ..parallel.distributed import (
+    make_global_batch,
+    maybe_initialize,
+    put_global,
+    put_global_batch,
+)
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
@@ -263,17 +268,20 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     train_ds = DatasetCls(opt, mode="train")
     eval_ds = DatasetCls(opt, mode="eval")
     fs_spec = opt.Data.get("framestore", "off")
+    # multi-host: indivisible tail batches cannot be padded per-process —
+    # the loader drops them (loudly) instead of crashing global assembly
+    tail_mult = jax.device_count() if proc_n > 1 else None
     train_loader = Loader(
         train_ds, opt.Training["bs"], workers=opt.Training["workers"],
         drop_last=False, seed=42,
         framestore=open_or_build(train_ds, fs_spec, "train"),
-        process_index=proc_i, process_count=proc_n,
+        process_index=proc_i, process_count=proc_n, tail_multiple=tail_mult,
     )
     eval_loader = Loader(
         eval_ds, opt.Training["bs_eval"], workers=opt.Training["workers"],
         drop_last=False, seed=43,
         framestore=open_or_build(eval_ds, fs_spec, "eval"),
-        process_index=proc_i, process_count=proc_n,
+        process_index=proc_i, process_count=proc_n, tail_multiple=tail_mult,
     )
     params_aug, random_crop, _ = augment_params(opt, "train")
     aug_train = build_augment(opt.Data["img_size"], params_aug, random_crop, True)
@@ -378,12 +386,23 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         """Returns (batch-sharded global batch, true_b). ``true_b`` is None
         when no padding was needed; otherwise the jitted steps slice back to
         it so no loss/metric ever sees a pad row (see make_train_step).
-        Multi-host: the batch holds only this host's rows and is assembled
-        into the global array (parallel/distributed.py)."""
+
+        Multi-host: the batch holds only this host's rows; the RAW uint8 is
+        assembled into the global array first and the jitted augmentation
+        runs on the global sharded rows — per-clip augmentation subkeys are
+        indexed by GLOBAL row, so the trajectory is bit-identical to a
+        single-host run of the same config AND to the scanned chunk path
+        (which augments the global chunk from the same keys). Assembling the
+        uint8 before augmenting also avoids a device→host round trip of the
+        4×-larger float batch (parallel/distributed.py)."""
         if proc_n > 1:
-            # host-local augmentation stream; the step rng (derived from the
-            # caller's key) stays identical on every host
-            key = jax.random.fold_in(key, 1000 + proc_i)
+            raw = {"seq_raw": np.asarray(batch["seq_raw"])}
+            if control:
+                raw["cond"] = np.asarray(batch["cond"], np.float32)
+            g = put_global_batch(mesh, raw)
+            seq = (aug_train if train else aug_eval)(g["seq_raw"], key)
+            cond_pos = g["cond"] if control else jnp.zeros((seq.shape[0], 3))
+            return {"seq": seq, "cond": cond_pos}, None
         seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
         cond_pos = jnp.asarray(batch.get("cond")) if control else jnp.zeros((seq.shape[0], 3))
         return make_global_batch(mesh, {"seq": seq, "cond": cond_pos})
@@ -471,7 +490,8 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
 
         drive_epoch(
             train_loader.epoch_iter(epoch),
-            full_bs=opt.Training["bs"],
+            # the loader yields this host's rows (bs/proc_n in multi-host)
+            full_bs=opt.Training["bs"] // proc_n,
             spd=spd,
             chunk_ready=lambda: multi_fn is not None and actnorm_done,
             run_single=run_single,

@@ -36,7 +36,7 @@ from ..models.backbones.lpips import LPIPS
 from ..models.layers import merge_actnorm_init
 from ..models.stage1.patch_disc import NLayerDiscriminator
 from ..models.stage2.biggan import BigAE
-from ..parallel.distributed import make_global_batch, maybe_initialize
+from ..parallel.distributed import make_global_batch, maybe_initialize, put_global_batch
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
@@ -322,6 +322,9 @@ def _main(opt, max_steps: int | None = None):
         eval_ds, tr["bs"], workers=tr["workers"], drop_last=False, seed=43,
         framestore=open_or_build(eval_ds, fs_spec, "eval"),
         process_index=proc_i, process_count=proc_n,
+        # multi-host: indivisible tail batches cannot be padded per-process —
+        # drop them (loudly) instead of crashing global assembly
+        tail_multiple=jax.device_count() if proc_n > 1 else None,
     )
     aug_p, rcrop, _ = augment_params(opt, "train")
     aug_train = build_augment(img_size, aug_p, rcrop, True)
@@ -369,10 +372,18 @@ def _main(opt, max_steps: int | None = None):
         """Returns (batch-sharded global img, true_b). ``true_b`` is None
         when no padding was needed; the jitted steps slice back to it so
         neither the losses nor the BN batch stats ever see a pad row (see
-        make_ae_step). Multi-host: the batch holds only this host's rows
-        (parallel/distributed.py)."""
+        make_ae_step).
+
+        Multi-host: the batch holds only this host's rows; the RAW uint8 is
+        assembled into the global array first and the jitted augmentation
+        runs on the global sharded rows — per-clip subkeys are indexed by
+        GLOBAL row, so the trajectory is bit-identical to a single-host run
+        and to the scanned chunk path, and the 4×-larger float batch never
+        round-trips through the host (parallel/distributed.py)."""
         if proc_n > 1:
-            key = jax.random.fold_in(key, 1000 + proc_i)  # host-local aug stream
+            g = put_global_batch(mesh, {"seq_raw": np.asarray(batch["seq_raw"])})
+            seq = (aug_train if train else aug_eval)(g["seq_raw"], key)
+            return (seq[:, 0] if seq.ndim == 5 else seq), None
         seq = (aug_train if train else aug_eval)(jnp.asarray(batch["seq_raw"]), key)
         img = seq[:, 0] if seq.ndim == 5 else seq  # sequence_length==1 → frame
         b, true_b = make_global_batch(mesh, {"img": img})
@@ -472,7 +483,8 @@ def _main(opt, max_steps: int | None = None):
 
         drive_epoch(
             train_loader.epoch_iter(epoch),
-            full_bs=tr["bs"],
+            # the loader yields this host's rows (bs/proc_n in multi-host)
+            full_bs=tr["bs"] // proc_n,
             spd=spd,
             chunk_ready=lambda: multi_fn is not None and actnorm_done,
             run_single=run_single,

@@ -10,6 +10,7 @@ import pytest
 
 from image2video_synthesis_using_cinns_tpu.parallel.mesh import make_mesh
 from image2video_synthesis_using_cinns_tpu.train.chunks import (
+    chunk_keys,
     drive_epoch,
     make_chunk_stager,
     pad_batch_rows,
@@ -61,6 +62,25 @@ def test_chunk_stager_bytes_match_host_stack(rng):
     np.testing.assert_array_equal(jax.device_get(out), expect)
     # sharded (None, 'data') over the mesh like the old stacked put
     assert out.sharding.spec == jax.sharding.PartitionSpec(None, "data")
+
+
+def test_chunk_keys_single_dispatch_matches_eager_fold():
+    """chunk_keys runs as ONE jitted program; its values must equal the
+    eager per-step derivation the single-step path uses
+    (fold_in(root_key, global_step + j))."""
+    import jax
+
+    root = jax.random.PRNGKey(7)
+    got = np.asarray(chunk_keys(root, 13, 4))
+    expect = np.stack(
+        [np.asarray(jax.random.fold_in(root, 13 + j)) for j in range(4)]
+    )
+    np.testing.assert_array_equal(got, expect)
+    # different global_step must not recompile (weak-typed traced arg)
+    np.testing.assert_array_equal(
+        np.asarray(chunk_keys(root, 21, 4))[0],
+        np.asarray(jax.random.fold_in(root, 21)),
+    )
 
 
 def _mk(b, tag):

@@ -124,6 +124,42 @@ def test_loader_reproducible_epochs(bair_dir):
     assert not np.array_equal(a["seq_raw"], c["seq_raw"])
 
 
+def test_loader_tail_multiple_drops_indivisible_tail(bair_dir):
+    """Multi-host runs cannot pad an indivisible tail batch per-process
+    (parallel/distributed.py); with tail_multiple set the loader drops it
+    loudly instead of letting global assembly crash mid-epoch."""
+    import warnings
+
+    ds = BairDataset(_opt(bair_dir), mode="train")
+    n = len(ds)
+    bs = 4 if n % 4 else 3
+    assert n % bs, "fixture must leave a tail batch"
+    tail = n % bs
+
+    # single-host (no tail_multiple): the tail batch is yielded as usual
+    plain = Loader(ds, batch_size=bs, drop_last=False, workers=2, seed=7)
+    sizes = [b["seq_raw"].shape[0] for b in plain.epoch_iter(0)]
+    assert sizes == [bs] * (n // bs) + [tail]
+
+    # multi-host: the 8-device-indivisible tail is dropped with ONE warning
+    multi = Loader(
+        ds, batch_size=bs, drop_last=False, workers=2, seed=7, tail_multiple=8
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sizes = [b["seq_raw"].shape[0] for b in multi.epoch_iter(0)]
+        assert len(multi) == len(sizes)
+    assert sizes == [bs] * (n // bs)
+    assert sum("dropping the tail batch" in str(w.message) for w in caught) == 1
+
+    # divisible tails survive tail_multiple
+    ok = Loader(
+        ds, batch_size=bs, drop_last=False, workers=2, seed=7,
+        tail_multiple=tail,
+    )
+    assert [b["seq_raw"].shape[0] for b in ok.epoch_iter(0)][-1] == tail
+
+
 def test_augment_eval_is_resize_normalize(bair_dir):
     aug = build_augment(16, {}, False, False)
     raw = np.random.default_rng(0).integers(0, 255, (2, 3, 32, 32, 3), dtype=np.uint8)
