@@ -151,19 +151,27 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         dt_now.hour, dt_now.minute, dt_now.second, tr["savename"],
     )
     save_path = os.path.join(tr["save_path"] or ".", run_name)
-    os.makedirs(os.path.join(save_path, "videos"), exist_ok=True)
     opt.Training["save_path"] = save_path
-    cfg.save(opt, os.path.join(save_path, "config_stage1.yaml"))
+    # multi-host: only process 0 touches the filesystem / wandb — state is
+    # replicated, so its checkpoints/logs describe every host's run, and
+    # concurrent writes to one path would race (parallel/distributed.py)
+    primary = proc_i == 0
+    if primary:
+        os.makedirs(os.path.join(save_path, "videos"), exist_ok=True)
+        cfg.save(opt, os.path.join(save_path, "config_stage1.yaml"))
 
     wandb_sink = WandbSink()
-    wandb_sink.init(opt.get("Logging"), opt, save_path, tr["savename"])
+    if primary:
+        wandb_sink.init(opt.get("Logging"), opt, save_path, tr["savename"])
     log_train = Logging(TRAIN_KEYS)
     log_test = Logging(TEST_KEYS[:-1])
     full_log_train = CSVlogger(
-        os.path.join(save_path, "log_per_epoch_train.csv"), ["Epoch", "Time", "LR"] + TRAIN_KEYS
+        os.path.join(save_path, "log_per_epoch_train.csv"),
+        ["Epoch", "Time", "LR"] + TRAIN_KEYS, enabled=primary,
     )
     full_log_test = CSVlogger(
-        os.path.join(save_path, "log_per_epoch_eval.csv"), ["Epoch", "Time", "LR"] + TEST_KEYS
+        os.path.join(save_path, "log_per_epoch_eval.csv"),
+        ["Epoch", "Time", "LR"] + TEST_KEYS, enabled=primary,
     )
 
     # ---- resume -------------------------------------------------------
@@ -355,7 +363,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         )
         fetches.drain(all_pending=True)
 
-        if sequences is not None:
+        if sequences is not None and primary:
             gif = plot_vid(opt, sequences, epoch, mode="train")
             wandb_sink.log_video("train_video", gif)
 
@@ -384,7 +392,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                 np.transpose(np.asarray(seq)[:tb, 1:], (0, 1, 4, 2, 3)),
             ]
 
-        if sequences_eval is not None:
+        if sequences_eval is not None and primary:
             # reference logs the eval recon video too (stage1_VAE/main.py:82-83)
             gif = plot_vid(opt, sequences_eval, epoch, mode="eval")
             wandb_sink.log_video("eval_video", gif)
@@ -412,32 +420,22 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                 eval_fvd = False
 
         # ---------------- checkpoints ----------------
-        host_state = jax.device_get(state)
-        sched_sd = scheds[0].state_dict()
-        saves = {
-            "GEN": (host_state.dec_vars, host_state.opt_ae),
-            "ENC": (host_state.enc_vars, host_state.opt_ae),
-            "DISC_t": (host_state.disc_t_vars, host_state.opt_dt),
-            "DISC_s": (host_state.disc_s_vars, host_state.opt_ds),
-        }
-        # async writes: serialize+write overlaps the next epoch (flushed by
-        # ckpt_io.wait() before return) — see utils/checkpoint.py
-        for name, (vars_, opt_state) in saves.items():
-            ckpt_io.save_async(
-                os.path.join(save_path, f"latest_checkpoint_{name}.msgpack"),
-                {
-                    "epoch": epoch + 1,
-                    "state_dict": vars_,
-                    "optim_state_dict": opt_state,
-                    "scheduler_state_dict": sched_sd,
-                },
-            )
-        metric = PFVD if PFVD == PFVD else log_test.log()[0]
-        if metric < best_PFVD:
-            for name in ("GEN", "ENC"):
-                vars_, opt_state = saves[name]
+        # multi-host: secondaries skip the host fetch + writes — state is
+        # replicated, process 0's files describe the global run
+        if primary:
+            host_state = jax.device_get(state)
+            sched_sd = scheds[0].state_dict()
+            saves = {
+                "GEN": (host_state.dec_vars, host_state.opt_ae),
+                "ENC": (host_state.enc_vars, host_state.opt_ae),
+                "DISC_t": (host_state.disc_t_vars, host_state.opt_dt),
+                "DISC_s": (host_state.disc_s_vars, host_state.opt_ds),
+            }
+            # async writes: serialize+write overlaps the next epoch (flushed
+            # by ckpt_io.wait() before return) — see utils/checkpoint.py
+            for name, (vars_, opt_state) in saves.items():
                 ckpt_io.save_async(
-                    os.path.join(save_path, f"best_PFVD_{name}.msgpack"),
+                    os.path.join(save_path, f"latest_checkpoint_{name}.msgpack"),
                     {
                         "epoch": epoch + 1,
                         "state_dict": vars_,
@@ -445,6 +443,20 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                         "scheduler_state_dict": sched_sd,
                     },
                 )
+        metric = PFVD if PFVD == PFVD else log_test.log()[0]
+        if metric < best_PFVD:
+            if primary:
+                for name in ("GEN", "ENC"):
+                    vars_, opt_state = saves[name]
+                    ckpt_io.save_async(
+                        os.path.join(save_path, f"best_PFVD_{name}.msgpack"),
+                        {
+                            "epoch": epoch + 1,
+                            "state_dict": vars_,
+                            "optim_state_dict": opt_state,
+                            "scheduler_state_dict": sched_sd,
+                        },
+                    )
             best_PFVD = metric
 
         # ---------------- schedulers ----------------

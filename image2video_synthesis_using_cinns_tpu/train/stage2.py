@@ -294,21 +294,30 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         dt.second, opt.Training["savename"],
     )
     save_path = os.path.join(opt.Training["save_path"] or ".", run_name)
-    os.makedirs(os.path.join(save_path, "videos"), exist_ok=True)
     opt.Training["save_path"] = save_path
-    cfg.save(opt, os.path.join(save_path, "config_stage2.yaml"))
+    # multi-host: only process 0 touches the filesystem / wandb — params are
+    # replicated so its checkpoints/logs describe every host's run, and
+    # concurrent writes to one path would race on a shared filesystem
+    # (parallel/distributed.py)
+    primary = proc_i == 0
+    if primary:
+        os.makedirs(os.path.join(save_path, "videos"), exist_ok=True)
+        cfg.save(opt, os.path.join(save_path, "config_stage2.yaml"))
 
     wandb_sink = WandbSink()
-    wandb_sink.init(opt.get("Logging"), opt, save_path, opt.Training["savename"])
+    if primary:
+        wandb_sink.init(opt.get("Logging"), opt, save_path, opt.Training["savename"])
 
     logging_keys = ["Loss", "reference_nll_loss", "nlogdet_loss", "nll_loss", "PFVD"]
     loss_track_train = Logging(logging_keys[:-1])
     loss_track_test = Logging(logging_keys[:-1])
     full_log_train = CSVlogger(
-        os.path.join(save_path, "log_per_epoch_train.csv"), ["Epoch", "Time", "LR"] + logging_keys
+        os.path.join(save_path, "log_per_epoch_train.csv"),
+        ["Epoch", "Time", "LR"] + logging_keys, enabled=primary,
     )
     full_log_eval = CSVlogger(
-        os.path.join(save_path, "log_per_epoch_eval.csv"), ["Epoch", "Time", "LR"] + logging_keys
+        os.path.join(save_path, "log_per_epoch_eval.csv"),
+        ["Epoch", "Time", "LR"] + logging_keys, enabled=primary,
     )
 
     # ---- mesh + step ---------------------------------------------------
@@ -554,35 +563,41 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         # fetched once per run, flow params + optimiser state once per epoch
         # — each device_get streams the full tree through the relay, so the
         # old per-save fetches doubled a multi-second epoch cost.
-        if frozen_host is None:
-            frozen_host = jax.device_get(frozen)
-            buffers_host = jax.device_get(buffers)
-        flow_host = jax.device_get(flow_params)
-        opt_host = jax.device_get(opt_state)
-        net_vars_out = {
-            "params": {"flow": flow_host, "embedder": frozen_host},
-            "buffers": buffers_host,
-        }
+        # multi-host: secondaries skip the host fetch + write entirely —
+        # params/opt state are replicated, so process 0's files already
+        # describe the global run (parallel/distributed.py)
+        if primary:
+            if frozen_host is None:
+                frozen_host = jax.device_get(frozen)
+                buffers_host = jax.device_get(buffers)
+            flow_host = jax.device_get(flow_params)
+            opt_host = jax.device_get(opt_state)
+            net_vars_out = {
+                "params": {"flow": flow_host, "embedder": frozen_host},
+                "buffers": buffers_host,
+            }
 
         metric = PFVD if PFVD == PFVD else loss_track_test.log()[0]
         if metric < best_PFVD:
             # async: the ~350MB serialize+write runs on the checkpoint writer
             # thread, overlapping the next epoch (ckpt_io.wait() before return)
-            ckpt_io.save_async(
-                os.path.join(save_path, "cINN.msgpack"),
-                ckpt_io.get_save_dict(net_vars_out, opt_host, epoch),
-            )
+            if primary:
+                ckpt_io.save_async(
+                    os.path.join(save_path, "cINN.msgpack"),
+                    ckpt_io.get_save_dict(net_vars_out, opt_host, epoch),
+                )
             best_PFVD = metric
 
         # crash/preemption-resume checkpoint (atomic write)
-        ckpt_io.save_async(
-            os.path.join(save_path, "cINN_latest.msgpack"),
-            {
-                "epoch": epoch + 1,
-                "state_dict": net_vars_out,
-                "optim_state_dict": opt_host,
-            },
-        )
+        if primary:
+            ckpt_io.save_async(
+                os.path.join(save_path, "cINN_latest.msgpack"),
+                {
+                    "epoch": epoch + 1,
+                    "state_dict": net_vars_out,
+                    "optim_state_dict": opt_host,
+                },
+            )
 
         epoch_dt = time.time() - epoch_time
         full_log_train.write([epoch, epoch_dt, lr, *loss_track_train.log(), PFVD])

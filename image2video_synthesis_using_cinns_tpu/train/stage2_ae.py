@@ -337,17 +337,25 @@ def _main(opt, max_steps: int | None = None):
         now.second, tr["savename"],
     )
     save_path = os.path.join(tr["save_path"] or ".", run_name)
-    os.makedirs(os.path.join(save_path, "images"), exist_ok=True)
     opt.Training["save_path"] = save_path
-    cfg.save(opt, os.path.join(save_path, "config_stage2_AE.yaml"))
+    # multi-host: only process 0 touches the filesystem / wandb — state is
+    # replicated, so its checkpoints/logs describe every host's run, and
+    # concurrent writes to one path would race (parallel/distributed.py)
+    primary = proc_i == 0
+    if primary:
+        os.makedirs(os.path.join(save_path, "images"), exist_ok=True)
+        cfg.save(opt, os.path.join(save_path, "config_stage2_AE.yaml"))
     wandb_sink = WandbSink()
-    wandb_sink.init(opt.get("Logging"), opt, save_path, tr["savename"])
+    if primary:
+        wandb_sink.init(opt.get("Logging"), opt, save_path, tr["savename"])
     logger_train, logger_eval = Logging(LOG_KEYS), Logging(LOG_KEYS)
     csv_train = CSVlogger(
-        os.path.join(save_path, "log_per_epoch_train.csv"), ["Epoch", "Time", "LR"] + LOG_KEYS
+        os.path.join(save_path, "log_per_epoch_train.csv"),
+        ["Epoch", "Time", "LR"] + LOG_KEYS, enabled=primary,
     )
     csv_eval = CSVlogger(
-        os.path.join(save_path, "log_per_epoch_test.csv"), ["Epoch", "Time", "LR"] + LOG_KEYS
+        os.path.join(save_path, "log_per_epoch_test.csv"),
+        ["Epoch", "Time", "LR"] + LOG_KEYS, enabled=primary,
     )
 
     # ---- mesh ----------------------------------------------------------
@@ -499,7 +507,7 @@ def _main(opt, max_steps: int | None = None):
         set_lr(opt_g_state, scheds[0].step(loss_recon))
         set_lr(opt_d_state, scheds[1].step(loss_recon))
 
-        if last_recon is not None:
+        if last_recon is not None and primary:
             grid = _save_recon_grid(last_recon, save_path, epoch, "train")
             # reference pushes the recon grid to wandb too (AE/main.py:40-43)
             wandb_sink.log_image("images_train", grid, caption="Reconstructions")
@@ -524,12 +532,13 @@ def _main(opt, max_steps: int | None = None):
 
         if logger_eval.log()[1] < best_val:
             best_val = logger_eval.log()[1]
-            enc_vars = _extract_encoder(jax.device_get(gen_vars))
-            # async write, flushed before return — see utils/checkpoint.py
-            ckpt_io.save_async(
-                os.path.join(save_path, "Encoder_stage2.msgpack"),
-                {"state_dict": enc_vars},
-            )
+            if primary:  # multi-host: secondaries skip the fetch + write
+                enc_vars = _extract_encoder(jax.device_get(gen_vars))
+                # async write, flushed before return — see utils/checkpoint.py
+                ckpt_io.save_async(
+                    os.path.join(save_path, "Encoder_stage2.msgpack"),
+                    {"state_dict": enc_vars},
+                )
 
         dt = time.time() - t0
         csv_train.write([epoch, dt, lr, *logger_train.log()])

@@ -14,14 +14,22 @@ import numpy as np
 
 
 class CSVlogger:
-    def __init__(self, logname: str, header_names: list[str]):
+    def __init__(self, logname: str, header_names: list[str], enabled: bool = True):
+        # ``enabled=False`` makes the logger a no-op (no header, no rows):
+        # multi-host trainers construct CSV loggers on every process but only
+        # process 0 may touch the filesystem (parallel/distributed.py).
         self.header_names = header_names
         self.logname = logname
+        self.enabled = enabled
+        if not enabled:
+            return
         with open(logname, "a") as csv_file:
             writer = csv.writer(csv_file, delimiter=",")
             writer.writerow(header_names)
 
     def write(self, inputs: list) -> None:
+        if not self.enabled:
+            return
         with open(self.logname, "a") as csv_file:
             writer = csv.writer(csv_file, delimiter=",")
             writer.writerow(inputs)

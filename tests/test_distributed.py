@@ -1,10 +1,21 @@
-"""Structural tests for the opt-in multi-host layer (parallel/distributed.py).
+"""Tests for the opt-in multi-host layer (parallel/distributed.py).
 
-A single pytest process cannot run true multi-process JAX, so these pin the
-structural contracts: the per-host batch partition, the global-array assembly
-degenerating to plain sharding in single-process mode, and the loader
-decoding exactly its host's slice of every batch (SURVEY §5.8 names per-host
-input pipelines as part of the parallelism component)."""
+Fast tests pin the structural contracts in-process: the per-host batch
+partition, the global-array assembly degenerating to plain sharding in
+single-process mode, and the loader decoding exactly its host's slice of
+every batch (SURVEY §5.8 names per-host input pipelines as part of the
+parallelism component). The slow test is the real thing: it spawns TWO
+separate Python processes that join one ``jax.distributed`` runtime (4
+virtual CPU devices each, Gloo collectives between processes — the same
+code path a TPU pod takes over DCN), drives the real stage-2 cINN trainer
+through ``Training.distributed``, and compares the trajectory and final
+checkpoint against a single-process 8-device run of the same config."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -111,3 +122,111 @@ def test_loader_host_slices_assemble_to_global_batch(tmp_path):
     for f, h0, h1 in zip(full, half0, half1):
         assert h0.shape[0] == h1.shape[0] == f.shape[0] // 2
         np.testing.assert_array_equal(np.concatenate([h0, h1], axis=0), f)
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single(tmp_path):
+    """REAL multi-process execution: two OS processes, one jax.distributed
+    runtime, Gloo cross-process collectives, driving the real stage-2 cINN
+    trainer end-to-end via Training.distributed. Asserts the multi-host
+    trajectory and the process-0 checkpoint match a single-process 8-device
+    run of the same config (parallel/distributed.py's bit-identity design),
+    and that only process 0 wrote files."""
+    from image2video_synthesis_using_cinns_tpu import config as cfg
+    from image2video_synthesis_using_cinns_tpu.testing import (
+        make_bair_data_dir,
+        make_model_dir,
+    )
+    from image2video_synthesis_using_cinns_tpu.train.stage2 import main as s2_main
+    from image2video_synthesis_using_cinns_tpu.utils import checkpoint as ckpt_io
+
+    # 16 clips / bs 8 → 2 mesh-divisible batches per epoch, no tail batch
+    data_dir = make_bair_data_dir(
+        str(tmp_path / "data") + "/", n_videos=16, img=32, modes=("train", "eval")
+    )
+    stage2_dir = make_model_dir(str(tmp_path / "ckpts"), preset="tiny")
+
+    def mk_opt():
+        opt = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+        opt.Data["data_path"] = data_dir
+        opt.Training["bs"] = 8
+        opt.Training["bs_eval"] = 8
+        opt.Training["workers"] = 2
+        opt.Training["n_epochs"] = 2
+        opt.Training["steps_per_dispatch"] = 1
+        return opt
+
+    max_steps = 4
+
+    # ---- reference: single-process run on the 8-device CPU mesh ----
+    opt = mk_opt()
+    opt.Training["save_path"] = str(tmp_path / "single")
+    ref = s2_main(opt, max_steps=max_steps, eval_fvd=False)
+
+    # ---- 2-process run: 4 local devices each, same global mesh ----
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    cfg_path = str(tmp_path / "mh_config.yaml")
+    opt = mk_opt()
+    cfg.save(opt, cfg_path)
+    out_dir = str(tmp_path / "multi")
+    os.makedirs(out_dir)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["I2V_MH_JAX_CACHE"] = str(tmp_path / "mh_cache")
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mh_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(p), "2", str(port), cfg_path, out_dir,
+             str(max_steps)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in (0, 1)
+    ]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, log in zip(procs, outs):
+        assert p.returncode == 0, f"worker {p.args[2]} failed:\n{log[-4000:]}"
+    results = []
+    for p in (0, 1):
+        with open(os.path.join(out_dir, f"result_{p}.json")) as f:
+            results.append(json.load(f))
+    assert results[0]["process_count"] == 2
+    assert results[0]["local_devices"] == 4
+    assert results[0]["global_devices"] == 8
+
+    # identical replicated state ⇒ both processes log identical trajectories
+    np.testing.assert_allclose(
+        results[0]["train_loss"], results[1]["train_loss"], rtol=0, atol=0
+    )
+    # ... equal to the single-process trajectory (global-row augmentation +
+    # shared-seed loaders make the global batches and RNG streams identical;
+    # cross-process Gloo reductions must agree with the in-process ones)
+    np.testing.assert_allclose(
+        results[0]["train_loss"], ref["train_loss"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        results[0]["eval_loss"], ref["eval_loss"], rtol=1e-5, atol=1e-7
+    )
+
+    # only process 0 may touch the filesystem: exactly ONE run dir, with the
+    # checkpoint + CSVs; process 1 wrote nothing
+    run_dirs = [d for d in os.listdir(out_dir) if d.startswith("Stage2_")]
+    assert len(run_dirs) == 1, run_dirs
+    mh_dir = os.path.join(out_dir, run_dirs[0])
+    assert os.path.exists(os.path.join(mh_dir, "log_per_epoch_train.csv"))
+
+    # final checkpoint params match the single-process run leaf-for-leaf
+    ref_ck = ckpt_io.load(os.path.join(ref["save_path"], "cINN_latest.msgpack"))
+    mh_ck = ckpt_io.load(os.path.join(mh_dir, "cINN_latest.msgpack"))
+    assert mh_ck["epoch"] == ref_ck["epoch"]
+    ref_leaves = jax.tree.leaves_with_path(ref_ck["state_dict"]["params"]["flow"])
+    mh_flow = mh_ck["state_dict"]["params"]["flow"]
+    mh_leaves = dict(jax.tree.leaves_with_path(mh_flow))
+    assert len(ref_leaves) == len(mh_leaves)
+    for path, ref_leaf in ref_leaves:
+        np.testing.assert_allclose(
+            mh_leaves[path], ref_leaf, rtol=1e-5, atol=1e-7,
+            err_msg=f"flow param {jax.tree_util.keystr(path)} diverged",
+        )
