@@ -23,6 +23,14 @@ def main():
     parser.add_argument("-I3D", type=bool)
     parser.add_argument("-VGG", type=bool)
     parser.add_argument("-DTI3D", type=bool)
+    # TPU-only additions (mirrors generate_samples.py): n_realiz × batches
+    # of sampling dominate the wall-clock — shard over all visible chips
+    # and/or serve the decoder in bf16
+    parser.add_argument("-data_parallel", action="store_true",
+                        help="sample data-parallel over all devices")
+    parser.add_argument("-compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="decoder serving dtype (flow stays fp32)")
     args = parser.parse_args()
 
     import jax
@@ -44,7 +52,9 @@ def main():
 
     path_ds = f"{args.dataset}/{args.texture}/" if args.dataset == "DTDB" else args.dataset
     ckpt_path = args.ckpt_path or f"./models/{path_ds}/stage2/"
-    model = Model(ckpt_path, args.seq_length, seed=249)
+    model = Model(ckpt_path, args.seq_length, seed=249,
+                  data_parallel=args.data_parallel,
+                  compute_dtype=args.compute_dtype)
     img_size = model.config.Data["img_size"]
 
     dataset = get_eval_loader(args.dataset, args.seq_length, args.data_path, model.config)

@@ -125,13 +125,16 @@ def test_loader_host_slices_assemble_to_global_batch(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_run_matches_single(tmp_path):
+@pytest.mark.parametrize("spd", [1, 2])
+def test_two_process_run_matches_single(tmp_path, spd):
     """REAL multi-process execution: two OS processes, one jax.distributed
     runtime, Gloo cross-process collectives, driving the real stage-2 cINN
     trainer end-to-end via Training.distributed. Asserts the multi-host
     trajectory and the process-0 checkpoint match a single-process 8-device
-    run of the same config (parallel/distributed.py's bit-identity design),
-    and that only process 0 wrote files."""
+    spd=1 run of the same config (parallel/distributed.py's bit-identity
+    design), and that only process 0 wrote files. ``spd=2`` additionally
+    drives the scanned chunk path cross-process (per-batch async staging +
+    on-device chunk assembly of globally-sharded rows, train/chunks.py)."""
     from image2video_synthesis_using_cinns_tpu import config as cfg
     from image2video_synthesis_using_cinns_tpu.testing import (
         make_bair_data_dir,
@@ -146,14 +149,14 @@ def test_two_process_run_matches_single(tmp_path):
     )
     stage2_dir = make_model_dir(str(tmp_path / "ckpts"), preset="tiny")
 
-    def mk_opt():
+    def mk_opt(k=1):
         opt = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
         opt.Data["data_path"] = data_dir
         opt.Training["bs"] = 8
         opt.Training["bs_eval"] = 8
         opt.Training["workers"] = 2
         opt.Training["n_epochs"] = 2
-        opt.Training["steps_per_dispatch"] = 1
+        opt.Training["steps_per_dispatch"] = k
         return opt
 
     max_steps = 4
@@ -168,7 +171,7 @@ def test_two_process_run_matches_single(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     cfg_path = str(tmp_path / "mh_config.yaml")
-    opt = mk_opt()
+    opt = mk_opt(spd)
     cfg.save(opt, cfg_path)
     out_dir = str(tmp_path / "multi")
     os.makedirs(out_dir)
