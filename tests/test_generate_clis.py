@@ -57,7 +57,10 @@ def test_visualize_endpoint_cli(tmp_path, monkeypatch):
         sys, "argv",
         ["visualize_endpoint.py", "-gpu", "0", "-dataset", "bair",
          "-ckpt_path", ckpt + "/", "-data_path", data_dir,
-         "-seq_length", "8", "-n_samples", "2", "-n_realiz", "2", "-bs", "2"],
+         "-seq_length", "8", "-n_samples", "2", "-n_realiz", "2", "-bs", "2",
+         # DP serving of the control-conditioned forward (cond rows are
+         # sharded alongside the batch — facade._shard_rows)
+         "-data_parallel"],
     )
     cli.main()
     out = tmp_path / "assets" / "results" / "bair_endpoint"

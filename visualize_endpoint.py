@@ -23,6 +23,13 @@ def main():
     parser.add_argument("-n_samples", type=int, default=15)
     parser.add_argument("-n_realiz", type=int, default=8)
     parser.add_argument("-bs", type=int, default=6)
+    # TPU-only additions (mirrors generate_samples.py): n_realiz samplings
+    # per batch dominate the wall-clock
+    parser.add_argument("-data_parallel", action="store_true",
+                        help="sample data-parallel over all devices")
+    parser.add_argument("-compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="decoder serving dtype (flow stays fp32)")
     args = parser.parse_args()
 
     assert args.dataset == "bair"
@@ -37,7 +44,9 @@ def main():
     from image2video_synthesis_using_cinns_tpu.utils import video as vid
 
     ckpt_path = args.ckpt_path or f"./models/{args.dataset}/stage2_control/"
-    model = Model(ckpt_path, args.seq_length)
+    model = Model(ckpt_path, args.seq_length,
+                  data_parallel=args.data_parallel,
+                  compute_dtype=args.compute_dtype)
     img_size = model.config.Data["img_size"]
 
     dataset = get_eval_loader(
