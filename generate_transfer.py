@@ -32,6 +32,14 @@ def main():
     parser.add_argument("-ckpt_path", type=str, required=False)
     parser.add_argument("-seq_length", type=int, default=16)
     parser.add_argument("-bs", type=int, default=6)
+    # TPU-only additions over the reference flag surface (same as the other
+    # sampling CLIs): shard the start-frame batch over all visible chips and
+    # serve the decoder in bf16 (the benchmarked fast path — BASELINE.md)
+    parser.add_argument("-data_parallel", action="store_true",
+                        help="transfer data-parallel over all devices")
+    parser.add_argument("-compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="decoder serving dtype (flow stays fp32)")
     args = parser.parse_args()
 
     assert args.dataset == "landscape", "Only implemented for landscape"
@@ -42,7 +50,10 @@ def main():
     from image2video_synthesis_using_cinns_tpu.utils import video as vid
 
     ckpt_path = args.ckpt_path or f"./models/{args.dataset}/stage2/"
-    model = Model(ckpt_path, args.seq_length, transfer=True)
+    model = Model(
+        ckpt_path, args.seq_length, transfer=True,
+        data_parallel=args.data_parallel, compute_dtype=args.compute_dtype,
+    )
     img_res = model.config_stage1.Data["img_size"]
 
     img_path = f"./assets/GT_samples/{args.dataset}/transfer/"

@@ -314,15 +314,24 @@ class Model:
                 res = jnp.tile(res.reshape(z.shape[0], -1), (x0_cl.shape[0], 1))
                 z_ref = self.flow.apply(flow_vars, res, [x0_cl], reverse=True)
                 z_ref = z_ref.reshape(x0_cl.shape[0], -1)
-                return self.decoder.apply(dec_vars, x0_cl, z_ref), z_ref
+                return self._decode(dec_vars, x0_cl, z_ref), z_ref
 
             self._fn_cache["transfer"] = run
 
+        n = x0_cl.shape[0]
+        true_n = n
+        if self.mesh is not None:
+            # DP transfer: the (few) start frames are the parallel axis; the
+            # query video rides along replicated (its encoder/flow-forward
+            # pass is tiny next to the N decodes).
+            (x0_cl,), true_n = self._shard_rows(x0_cl)
         seq_gen, z_ref = self._fn_cache["transfer"](
             self.encoder_vars, self.flow_vars, self.decoder_vars, q_cl, x0_cl,
             self._next_key(),
         )
         seq_gen = self._extend(seq_gen, z_ref)
+        if seq_gen.shape[0] != true_n:
+            seq_gen = seq_gen[:true_n]
         return jnp.transpose(seq_gen, (0, 1, 4, 2, 3))
 
 

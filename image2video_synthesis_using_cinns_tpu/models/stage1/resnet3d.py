@@ -232,7 +232,12 @@ class Encoder(nn.Module):
 
         if rng is None:
             rng = self.make_rng("sample")
-        eps = jax.random.normal(rng, logvar.shape, dtype=logvar.dtype)
+        # draw eps in fp32 then cast: jax.random.normal consumes a DIFFERENT
+        # bit-stream per dtype, so drawing at logvar.dtype would make
+        # Training.compute_dtype=bfloat16 change the posterior SAMPLE rather
+        # than just its rounding (the reference's randn_like is fp32-only,
+        # stage1_VAE/modules/resnet3D.py:202-206)
+        eps = jax.random.normal(rng, logvar.shape).astype(logvar.dtype)
         sample = eps * jnp.exp(0.5 * logvar) + mu
         return sample, mu, logvar
 

@@ -39,7 +39,11 @@ class DiagonalGaussianDistribution:
         return jnp.exp(self.logvar)
 
     def sample(self, rng: jax.Array) -> jax.Array:
-        return self.mean + self.std * jax.random.normal(rng, self.mean.shape, self.mean.dtype)
+        # fp32 draw then cast: the per-dtype bit-streams of jax.random.normal
+        # differ, and a compute-dtype flag must change rounding only, never
+        # the sample itself (cf. stage1/resnet3d.py reparameterize)
+        eps = jax.random.normal(rng, self.mean.shape).astype(self.mean.dtype)
+        return self.mean + self.std * eps
 
     def kl(self, other: "DiagonalGaussianDistribution | None" = None) -> jax.Array:
         if self.deterministic:

@@ -63,6 +63,7 @@ from .chunks import (
     pad_chunk_axis,
 )
 from .optim import LRController, adam_torch, get_lr, set_lr
+from .stage1_step import _mixed_precision_apply
 
 
 def build_models(opt):
@@ -101,11 +102,24 @@ def build_models(opt):
     return config1, generator, gen_vars, encoder, enc_vars, network, net_vars
 
 
-def _make_loss_fn(network: SupervisedTransformer, encoder: Encoder, control: bool):
+def _make_loss_fn(
+    network: SupervisedTransformer,
+    encoder: Encoder,
+    control: bool,
+    mp_dt=None,
+):
+    """``mp_dt=jnp.bfloat16`` (``Training.compute_dtype: bfloat16``) runs the
+    frozen 3D-ResNet posterior forward — the step's dominant FLOPs; it gets
+    no gradients — in bf16, casting the posterior back to fp32 before the
+    flow. The flow, its gradients and the NLL stay fp32: exact-likelihood
+    training is numerically tight (logdet sums over 20 blocks) and the flow
+    is a trivial fraction of the step's compute."""
+    enc_apply = _mixed_precision_apply(encoder, mp_dt)
+
     def loss_fn(flow_params, frozen, buffers, enc_v, seq, cond_pos, rng):
         # frozen dynamics posterior of frames 1:
         k_enc, k_ref = jax.random.split(rng)
-        post, _, _ = encoder.apply(enc_v, seq[:, 1:], rngs={"sample": k_enc})
+        post, _, _ = enc_apply(enc_v, seq[:, 1:], rngs={"sample": k_enc})
         post = jax.lax.stop_gradient(post.reshape(post.shape[0], -1))
         cond = [seq[:, 0]] if not control else [seq[:, 0], cond_pos]
         variables = {
@@ -119,7 +133,7 @@ def _make_loss_fn(network: SupervisedTransformer, encoder: Encoder, control: boo
     return loss_fn
 
 
-def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, optimizer, control: bool):
+def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, optimizer, control: bool, mp_dt=None):
     """One jitted DP step. ``trainable`` = flow params; embedder frozen.
 
     The frozen encoder weights are threaded as jit *arguments* (bound via the
@@ -134,7 +148,7 @@ def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, 
     batch would silently optimise a biased objective at non-mesh-divisible
     batch sizes (round-2 verdict, Weak #1). ``None`` = no padding."""
 
-    loss_fn = _make_loss_fn(network, encoder, control)
+    loss_fn = _make_loss_fn(network, encoder, control, mp_dt)
 
     @partial(jax.jit, static_argnums=(8,), donate_argnums=(0, 1))
     def _step(flow_params, opt_state, frozen, buffers, enc_v, seq, cond_pos, rng, true_b):
@@ -173,6 +187,7 @@ def make_scan_step(
     control: bool,
     augment,
     true_b: int | None = None,
+    mp_dt=None,
 ):
     """K optimisation steps fused into ONE dispatch via ``lax.scan``.
 
@@ -195,7 +210,7 @@ def make_scan_step(
     'data')) and ``keys`` is (K, 2) uint32; yields stacked per-step aux.
     """
     require_partitionable_threefry()
-    loss_fn = _make_loss_fn(network, encoder, control)
+    loss_fn = _make_loss_fn(network, encoder, control, mp_dt)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def _multi(flow_params, opt_state, frozen, buffers, enc_v, raw_u8, conds, keys):
@@ -331,7 +346,13 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         replicate(mesh, x) for x in (flow_params, frozen, buffers, opt_state, enc_vars)
     )
 
-    step_fn, eval_fn = make_train_step(network, encoder, enc_vars_r, optimizer, control)
+    # Training.compute_dtype: bfloat16 runs the frozen posterior encoder in
+    # bf16 (see _make_loss_fn) — flag-gated, default fp32 like the reference
+    compute_dtype = str(opt.Training.get("compute_dtype", "float32"))
+    mp_dt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+    step_fn, eval_fn = make_train_step(
+        network, encoder, enc_vars_r, optimizer, control, mp_dt=mp_dt
+    )
 
     # K steps per dispatch (lax.scan) — amortises the per-dispatch RPC that
     # dominates this tiny step's wall-clock on the remote chip; 1 = one jitted
@@ -340,7 +361,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     multi_fn = (
         make_scan_step(
             network, encoder, enc_vars_r, optimizer, control, aug_train,
-            true_b=int(opt.Training["bs"]),
+            true_b=int(opt.Training["bs"]), mp_dt=mp_dt,
         )
         if spd > 1
         else None

@@ -37,7 +37,7 @@ from image2video_synthesis_using_cinns_tpu.testing import (
 from image2video_synthesis_using_cinns_tpu.train.optim import adam_torch
 
 
-def bench_stage2(bs: int, k: int, repeats: int):
+def bench_stage2(bs: int, k: int, repeats: int, dtype: str = "float32"):
     from image2video_synthesis_using_cinns_tpu.models.stage1.resnet3d import Encoder
     from image2video_synthesis_using_cinns_tpu.models.stage2.inn import (
         SupervisedTransformer,
@@ -68,9 +68,12 @@ def bench_stage2(bs: int, k: int, repeats: int):
 
     aug = build_augment(img, {"brightness": 0.2, "contrast": 0.2,
                               "saturation": 0.2, "hue": 0.1}, False, True)
-    step, _ = make_train_step(network, encoder, enc_vars, optimizer, control=False)
+    # --dtype bfloat16: frozen posterior encoder in bf16 (Training.compute_dtype)
+    mp_dt = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else None
+    step, _ = make_train_step(network, encoder, enc_vars, optimizer, control=False,
+                              mp_dt=mp_dt)
     multi = make_scan_step(network, encoder, enc_vars, optimizer, control=False,
-                           augment=aug, true_b=bs)
+                           augment=aug, true_b=bs, mp_dt=mp_dt)
 
     rng = np.random.default_rng(0)
     raw = rng.integers(0, 255, (bs, T, img, img, 3), dtype=np.uint8)
@@ -239,9 +242,12 @@ def main():
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--img", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="stage2 only: frozen-encoder compute dtype")
     a = ap.parse_args()
     if a.which == "stage2":
-        bench_stage2(a.bs or 50, a.k or 8, a.repeats)
+        bench_stage2(a.bs or 50, a.k or 8, a.repeats, dtype=a.dtype)
     elif a.which == "ae":
         bench_ae(a.bs or 30, a.k or 8, a.repeats)
     else:

@@ -38,7 +38,8 @@ def test_generate_transfer_cli(tmp_path, monkeypatch):
     monkeypatch.setattr(
         sys, "argv",
         ["generate_transfer.py", "-gpu", "0", "-dataset", "landscape",
-         "-ckpt_path", ckpt + "/", "-seq_length", str(p["seq_length"])],
+         "-ckpt_path", ckpt + "/", "-seq_length", str(p["seq_length"]),
+         "-data_parallel"],  # TPU-only serving flags (8-device CPU mesh here)
     )
     cli.main()
     out = tmp_path / "assets" / "results" / "landscape"

@@ -274,6 +274,29 @@ def test_facade_data_parallel_matches_single(tmp_path):
     np.testing.assert_allclose(v_dp, v_single, rtol=1e-3, atol=1e-4)
 
 
+def test_facade_transfer_data_parallel_matches_single(tmp_path):
+    """Model(transfer=True, data_parallel=True): the start-frame batch is the
+    sharded axis (query replicated); at the same facade seed the transferred
+    videos must match the single-device run — including a start-frame count
+    (3) that does not divide the 8-device mesh (pad + unpad round-trip)."""
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.testing import make_model_dir
+
+    d = make_model_dir(str(tmp_path), preset="tiny") + "/"
+    m_single = Model(d, vid_length=8, seed=3, transfer=True)
+    m_dp = Model(d, vid_length=8, seed=3, transfer=True, data_parallel=True)
+
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-1, 1, (1, 9, 3, 32, 32)).astype(np.float32)
+    x0 = rng.uniform(-1, 1, (3, 3, 32, 32)).astype(np.float32)
+
+    v_single = np.asarray(m_single.transfer(q, x0))
+    v_dp = np.asarray(m_dp.transfer(q, x0))
+    assert v_dp.shape == v_single.shape == (3, 8, 3, 32, 32)
+    # batch-8 (padded) vs batch-3 programs fuse differently → ~1e-5 noise
+    np.testing.assert_allclose(v_dp, v_single, rtol=1e-3, atol=1e-4)
+
+
 def test_pad_to_multiple():
     batch = {"x": jnp.ones((5, 3))}
     padded, true_b = pad_to_multiple(batch, 4)

@@ -500,3 +500,92 @@ def test_stage1_bf16_step_close_to_fp32():
     # params remain fp32 and updated
     for leaf in jax.tree.leaves(st16.dec_vars["params"]):
         assert leaf.dtype == jnp.float32
+
+
+def test_stage2_bf16_step_close_to_fp32(tmp_path):
+    """Stage-2 Training.compute_dtype=bfloat16 runs the frozen posterior
+    encoder in bf16 (fp32 flow/NLL/update, see stage2._make_loss_fn); one
+    step from identical state must stay finite and track the fp32 step."""
+    import jax
+    import jax.numpy as jnp
+
+    from image2video_synthesis_using_cinns_tpu.train.optim import adam_torch
+    from image2video_synthesis_using_cinns_tpu.train.stage2 import (
+        build_models,
+        make_train_step,
+    )
+
+    stage2_dir = make_model_dir(str(tmp_path / "ckpts"), preset="tiny")
+    opt = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+    (_, _, _, encoder, enc_vars, network, net_vars) = build_models(opt)
+    optimizer = adam_torch(1e-3)
+
+    flow_params = net_vars["params"]["flow"]
+    frozen = net_vars["params"]["embedder"]
+    buffers = net_vars["buffers"]
+
+    rng = jax.random.PRNGKey(7)
+    seq = jax.random.uniform(
+        jax.random.PRNGKey(5),
+        (2, P["seq_length"], P["img_size"], P["img_size"], 3),
+        minval=-1, maxval=1,
+    )
+    cond_pos = jnp.zeros((2, 3))
+
+    # the contract of the flag is that ONLY the frozen posterior encoder runs
+    # in bf16: its output must track the fp32 posterior at bf16 resolution
+    from image2video_synthesis_using_cinns_tpu.train.stage1_step import (
+        _mixed_precision_apply,
+    )
+
+    post32, _, _ = encoder.apply(
+        enc_vars, seq[:, 1:], rngs={"sample": jax.random.PRNGKey(3)}
+    )
+    post16, _, _ = _mixed_precision_apply(encoder, jnp.bfloat16)(
+        enc_vars, seq[:, 1:], rngs={"sample": jax.random.PRNGKey(3)}
+    )
+    assert post16.dtype == jnp.float32
+    scale = float(np.abs(np.asarray(post32)).max())
+    np.testing.assert_allclose(
+        np.asarray(post16), np.asarray(post32), atol=0.02 * scale
+    )
+
+    # ActNorm data-dependent init first, as the trainer always does — the
+    # un-normalised random-init posterior makes the random-init flow's NLL
+    # hyper-sensitive to the bf16 perturbation otherwise
+    new_blocks = network.apply(
+        {"params": {"flow": flow_params, "embedder": frozen}, "buffers": buffers},
+        post32.reshape(post32.shape[0], -1), [seq[:, 0]], method="init_actnorm",
+    )
+    flow_params = dict(flow_params)
+    flow_params["blocks"] = new_blocks
+
+    def run(mp_dt):
+        step, _ = make_train_step(
+            network, encoder, enc_vars, optimizer, False, mp_dt=mp_dt
+        )
+        fp = jax.tree.map(jnp.array, flow_params)  # fresh: step donates
+        new_fp, _, aux = step(
+            fp, optimizer.init(fp), frozen, buffers, seq, cond_pos, rng
+        )
+        return new_fp, {k: float(v) for k, v in aux.items()}
+
+    fp32, m32 = run(None)
+    fp16, m16 = run(jnp.bfloat16)
+
+    for k, v in m16.items():
+        assert np.isfinite(v), k
+    # the random-init coupling MLPs amplify the bf16 posterior perturbation
+    # (~5% NLL shift measured); 10%-of-scale still fails on any dtype-wiring
+    # bug (the pre-ActNorm comparison diverged 28%)
+    for k, v32 in m32.items():
+        assert abs(v32 - m16[k]) <= 0.10 * max(1.0, abs(v32)), (k, v32, m16[k])
+    # params remain fp32; one bias-corrected Adam step from the same state
+    # moves each weight by exactly lr·m̂/(√v̂+ε) ≤ ~lr, so the two runs can
+    # differ by at most ~2·lr per weight
+    import jax as _jax
+    for a, b in zip(_jax.tree.leaves(fp32), _jax.tree.leaves(fp16)):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.2e-3  # 2.2x the 1e-3 LR
+        )
