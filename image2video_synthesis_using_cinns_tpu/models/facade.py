@@ -295,7 +295,10 @@ class Model:
         return seq[:, : self.vid_length] if seq.shape[1] > self.vid_length else seq
 
     def transfer(self, seq_query, x_0):
-        """seq_query: (B,T,C,H,W); x_0: (N,C,H,W) → (N,T',C,H,W)."""
+        """seq_query: (1,T,C,H,W) — ONE query video per call (the reference
+        CLI loops queries one at a time, generate_transfer.py:40-59, and its
+        ``residual.repeat(N, 1)`` at get_model.py:96 assumes the same);
+        x_0: (N,C,H,W) → (N,T',C,H,W)."""
         assert self.encoder is not None, "construct Model(..., transfer=True)"
         seq_query = jnp.asarray(seq_query)
         x_0 = jnp.asarray(x_0)

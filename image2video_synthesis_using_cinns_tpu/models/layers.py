@@ -8,6 +8,7 @@ ActNorm keeps its data-dependent-init flag in ``"actnorm_stats"``.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
@@ -174,21 +175,82 @@ class SNConv(nn.Module, _SpectralMixin):
             x.shape, kshape, _dim_numbers(ndim_sp)
         )
         dtype = self.dtype or x.dtype
-        # preferred output type follows the compute dtype: the MXU still
-        # accumulates in fp32 internally, and a mixed (bf16 in, f32 out) conv
-        # has no transpose rule, which breaks jax.grad through bf16 forwards
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=strides,
-            padding=pad,
-            dimension_numbers=dn,
-            preferred_element_type=dtype,
-        )
+        if _use_folded_conv3d(x.shape, self.kernel_size, strides, padding):
+            y = _conv3x3x3_folded(x.astype(dtype), kernel.astype(dtype), dtype)
+        else:
+            # preferred output type follows the compute dtype: the MXU still
+            # accumulates in fp32 internally, and a mixed (bf16 in, f32 out)
+            # conv has no transpose rule, which breaks jax.grad through bf16
+            # forwards
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=strides,
+                padding=pad,
+                dimension_numbers=dn,
+                preferred_element_type=dtype,
+            )
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
             y = y + bias
         return y.astype(dtype)
+
+
+def _use_folded_conv3d(xshape, kernel_size, strides, padding) -> bool:
+    """Small-batch (3,3,3) stride-1 SAME convs use the folded 2D lowering.
+
+    At batch < 8, XLA:TPU rewrites the direct 3D conv with space-to-batch
+    (a sub-sublane batch cannot fill the MXU), materialising haloed copies
+    of every operand AND dragging the surrounding norm chains into the
+    bloated layout — measured at ~15% of the whole bs=6 BAIR serving
+    decoder (BASELINE.md round 3, "conv lowering"). Folding T into the
+    batch gives the per-frame 2D convs a B*T >= 8 batch, so no rewrite
+    happens and the conv FLOPs run at the chip's measured conv ceiling.
+    At batch >= 8 the direct lowering is strictly better (the fold's 3x
+    input reads cost more than they save: 0.57x at bs=24) — hence the
+    static gate on the traced batch size.
+
+    ``I2V_CONV3D_LOWERING`` ∈ {auto (default), direct, fold} overrides for
+    A/B measurement.
+    """
+    mode = os.environ.get("I2V_CONV3D_LOWERING", "auto")
+    if mode == "direct":
+        return False
+    eligible = (
+        len(xshape) == 5
+        and tuple(kernel_size) == (3, 3, 3)
+        and tuple(strides) == (1, 1, 1)
+        and tuple(padding) == (1, 1, 1)
+    )
+    if mode == "fold":
+        return eligible
+    return eligible and xshape[0] < 8
+
+
+def _conv3x3x3_folded(x: jax.Array, kernel: jax.Array, dtype) -> jax.Array:
+    """(3,3,3) stride-1 SAME conv as 3 summed per-frame 2D convs over a
+    folded (B*T) batch (see ``_use_folded_conv3d``).
+
+    Partials accumulate with the same ``preferred_element_type`` policy as
+    the direct lowering, so for fp32 the only difference is reassociation
+    (~1e-6 relative; pinned by tests/test_ops.py); bf16 partials round per
+    tap, which every consumer treats as ordinary bf16 noise.
+    """
+    b, t, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for dt in range(3):
+        xi = jax.lax.dynamic_slice_in_dim(xp, dt, t, axis=1)
+        o = jax.lax.conv_general_dilated(
+            xi.reshape(b * t, h, w, c),
+            kernel[dt],
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype,
+        )
+        acc = o if acc is None else acc + o
+    return acc.reshape(b, t, h, w, acc.shape[-1])
 
 
 def _dim_numbers(ndim_sp: int):

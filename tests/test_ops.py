@@ -115,3 +115,52 @@ def test_leaky_relu_matches_torch(rng):
         np.asarray(leaky_relu(jnp.asarray(x), 0.2)),
         F.leaky_relu(torch.from_numpy(x), 0.2).numpy(),
     )
+
+
+def test_folded_conv3d_matches_direct(rng, monkeypatch):
+    """The small-batch folded (3x 2D over B*T) conv3d lowering
+    (models/layers.py::_conv3x3x3_folded) must match the direct 3D conv to
+    reassociation noise, values AND gradients, including the T=1 edge
+    (head_0's (B,1,4,4,C) input where both temporal taps read zero-pad)."""
+    from image2video_synthesis_using_cinns_tpu.models.layers import SNConv
+
+    for shape in ((2, 5, 8, 8, 6), (2, 1, 4, 4, 6)):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        conv = SNConv(4, (3, 3, 3), padding=(1, 1, 1), use_spectral=True)
+        variables = conv.init({"params": jax.random.PRNGKey(0)}, x)
+
+        outs, grads = {}, {}
+        for mode in ("direct", "fold"):
+            monkeypatch.setenv("I2V_CONV3D_LOWERING", mode)
+
+            def loss(v, x):
+                return jnp.sum(conv.apply(v, x) ** 2)
+
+            outs[mode] = np.asarray(conv.apply(variables, x))
+            grads[mode] = jax.grad(loss)(variables, x)
+
+        # fp32 reassociation noise only: ~3e-5 absolute on O(100) outputs
+        np.testing.assert_allclose(
+            outs["fold"], outs["direct"], rtol=1e-5, atol=1e-4
+        )
+        for (pa, a), (pb, b) in zip(
+            jax.tree.leaves_with_path(grads["fold"]),
+            jax.tree.leaves_with_path(grads["direct"]),
+        ):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad {jax.tree_util.keystr(pa)} diverged",
+            )
+
+
+def test_folded_conv3d_gate():
+    """auto-mode gate: fold only for small-batch stride-1 SAME 3x3x3."""
+    from image2video_synthesis_using_cinns_tpu.models.layers import (
+        _use_folded_conv3d,
+    )
+
+    assert _use_folded_conv3d((6, 16, 64, 64, 128), (3, 3, 3), (1, 1, 1), (1, 1, 1))
+    assert not _use_folded_conv3d((24, 16, 64, 64, 128), (3, 3, 3), (1, 1, 1), (1, 1, 1))
+    assert not _use_folded_conv3d((6, 16, 64, 64, 128), (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    assert not _use_folded_conv3d((6, 64, 64, 128), (3, 3), (1, 1), (1, 1))
