@@ -64,11 +64,101 @@ def maybe_initialize(dist_cfg) -> tuple[int, int]:
 
     Returns ``(process_index, process_count)`` either way, so trainers can
     thread them into their loaders unconditionally.
+
+    Idempotent: running two trainers back-to-back in one process (stage-1
+    then its AE, the reference's sequential workflow) calls this twice; the
+    second call reuses the live runtime instead of crashing.
     """
     if dist_cfg:
-        kwargs = dict(dist_cfg) if isinstance(dist_cfg, dict) else {}
-        jax.distributed.initialize(**kwargs)
+        from jax._src import distributed as _jdist
+
+        # already initialised (second trainer in this process): reuse the
+        # live runtime — a second initialize() raises, with a message that
+        # depends on whether the XLA backend has run compute since
+        if _jdist.global_state.client is None:
+            kwargs = dict(dist_cfg) if isinstance(dist_cfg, dict) else {}
+            jax.distributed.initialize(**kwargs)
     return jax.process_index(), jax.process_count()
+
+
+def barrier(name: str, timeout_s: float = 1800.0) -> None:
+    """Synchronise all processes via the coordination service. No-op
+    single-process.
+
+    Why trainers need this: the CPU Gloo collective rendezvous has a hard
+    ~30 s key-exchange timeout (``GetKeyValue() timed out``). The trainers'
+    build phase (model inits, loader/framestore construction, jit warm-up)
+    runs with NO cross-process communication, and on contended hosts (or
+    with asymmetric compile-cache hits) processes can skew past 30 s — the
+    fast process then reaches the FIRST collective (the ``replicate`` of
+    the train state) and dies in Gloo context initialisation while the slow
+    one is still compiling. One barrier after the build phase, with a
+    generous coordination-service timeout, makes every process enter the
+    collective phase together. (TPU pods have the same pattern with a
+    larger default timeout; this is standard multi-host hygiene.)"""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _jdist
+
+    client = _jdist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
+def require_mesh_divisible(n_devices: int, **batch_sizes: int) -> None:
+    """Multi-host setup guard: every named batch size must divide the global
+    mesh. Called by the trainers once at startup when ``process_count > 1``.
+
+    Two failure modes make a loud early error mandatory here: (a) the
+    single-host pad + static-``true_b``-slice path cannot be expressed across
+    processes (``make_array_from_process_local_data`` has no per-process
+    shape freedom), and (b) the chunk stager pads rows PER PROCESS
+    (``train/chunks.py::make_chunk_stager``) — with an indivisible global
+    batch those pads would interleave mid-global-batch while the scanned
+    step's ``true_b`` slice assumes tail padding, silently training on pad
+    rows and dropping real ones."""
+    bad = {k: v for k, v in batch_sizes.items() if int(v) % n_devices}
+    if bad:
+        raise ValueError(
+            f"multi-host runs need mesh-divisible batch sizes: {bad} do not "
+            f"divide the {n_devices}-device mesh — choose divisible "
+            "Training batch sizes (see parallel/distributed.py)"
+        )
+
+
+def fetch_local_rows(x):
+    """``device_get`` that is safe for batch-sharded global arrays in
+    multi-process runs: returns THIS process's contiguous rows (its
+    :func:`host_batch_slice` block, assembled from the addressable shards).
+
+    Fetching a ``jax.Array`` that spans non-addressable devices raises in
+    JAX, so trainers must not ``np.asarray`` batch-sharded step outputs
+    (e.g. the epoch-GIF video tensors) directly. Fully-replicated arrays
+    (losses/metrics) and non-``jax.Array`` leaves pass through whole.
+    Assumes the sharded axis is axis 0 (every batch sharding here is
+    ``P('data', ...)``); asserts that assumption instead of mis-assembling.
+    """
+    if not isinstance(x, jax.Array):
+        return x
+    if x.is_fully_replicated:
+        return np.asarray(x)
+    by_start: dict[int, np.ndarray] = {}
+    for s in x.addressable_shards:
+        assert all(
+            sl.start in (None, 0) for sl in s.index[1:]
+        ), f"fetch_local_rows expects axis-0 batch sharding, got {s.index}"
+        start = s.index[0].start or 0
+        if start not in by_start:  # dedupe replicas over other mesh axes
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
+
+
+def fetch_local_rows_tree(tree: Any) -> Any:
+    """Tree-mapped :func:`fetch_local_rows`; the multi-host-safe drop-in for
+    ``jax.device_get`` on deferred-fetch payloads (``train/chunks.py``)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    return jax.tree.map(fetch_local_rows, tree)
 
 
 def host_batch_slice(

@@ -43,10 +43,21 @@ from ..parallel.distributed import put_global
 class DeferredFetch:
     """Deferred-fetch queue: results of dispatched chunks stay on device
     until the next chunk is dispatched (or the epoch ends), then are fetched
-    and handed to ``on_payload`` in dispatch order."""
+    and handed to ``on_payload`` in dispatch order.
 
-    def __init__(self, on_payload: Callable[[Any], None]):
+    ``fetch`` defaults to ``jax.device_get``; trainers whose payloads carry
+    batch-sharded arrays (the stage-1 GIF tensors, the AE recon grids) pass
+    ``parallel.distributed.fetch_local_rows_tree`` instead — plain
+    ``device_get`` raises on arrays spanning non-addressable devices in
+    multi-process runs."""
+
+    def __init__(
+        self,
+        on_payload: Callable[[Any], None],
+        fetch: Callable[[Any], Any] = jax.device_get,
+    ):
         self._on_payload = on_payload
+        self._fetch = fetch
         self._pending: list = []
 
     def push(self, payload: Any) -> None:
@@ -56,7 +67,7 @@ class DeferredFetch:
     def drain(self, all_pending: bool = False) -> None:
         while self._pending and (all_pending or len(self._pending) > 1):
             payload = self._pending.pop(0)
-            self._on_payload(jax.device_get(payload))
+            self._on_payload(self._fetch(payload))
 
 
 def iter_step_metrics(stacked: dict, n: int) -> Iterator[dict]:

@@ -114,24 +114,30 @@ def evaluate_FVD_prior(loader, aug, network, net_vars, generator, gen_vars,
 
     # dump a few random sampled clips next to ground truth (reference
     # utils/auxiliaries.py:105-108 logs 10 random samples per epoch; drawn
-    # from the first ~40 clips here — the rest stay on device)
-    try:
-        from ..utils.video import plot_vid
+    # from the first ~40 clips here — the rest stay on device). Multi-host:
+    # this function runs on EVERY process (process_allgather above is a
+    # collective), but only process 0 may touch the filesystem — concurrent
+    # writes to the same GIF path would race (parallel/distributed.py).
+    if jax.process_index() == 0:
+        try:
+            from ..utils.video import plot_vid
 
-        sel = np.random.randint(0, gen.shape[0], min(10, gen.shape[0]))
-        gif = plot_vid(
-            opt,
-            [
-                np.transpose(gen[sel], (0, 1, 4, 2, 3)),
-                np.transpose(orig[sel], (0, 1, 4, 2, 3)),
-            ],
-            epoch,
-            mode="eval",
-        )
-        if wandb_sink is not None:
-            # reference pushes the sampled clips too (utils/auxiliaries.py:108)
-            wandb_sink.log_video("eval_video", gif)
-    except Exception:
-        pass
+            sel = np.random.randint(0, gen.shape[0], min(10, gen.shape[0]))
+            gif = plot_vid(
+                opt,
+                [
+                    np.transpose(gen[sel], (0, 1, 4, 2, 3)),
+                    np.transpose(orig[sel], (0, 1, 4, 2, 3)),
+                ],
+                epoch,
+                mode="eval",
+            )
+            if wandb_sink is not None:
+                # reference pushes the sampled clips too (utils/auxiliaries.py:108)
+                wandb_sink.log_video("eval_video", gif)
+        except Exception as e:  # GIF export is best-effort; say so, once each
+            import warnings
+
+            warnings.warn(f"per-epoch sample-video dump failed: {e!r}")
 
     return float(frechet_from_activations(act1, act2))

@@ -33,7 +33,15 @@ from ..models.stage1.decoder import Generator
 from ..models.stage1.patch_disc import NLayerDiscriminator
 from ..models.stage1.resnet3d import Discriminator, Encoder
 from ..models.layers import merge_actnorm_init
-from ..parallel.distributed import make_global_batch, maybe_initialize, put_global_batch
+from ..parallel.distributed import (
+    barrier,
+    fetch_local_rows,
+    fetch_local_rows_tree,
+    make_global_batch,
+    maybe_initialize,
+    put_global_batch,
+    require_mesh_divisible,
+)
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
@@ -194,6 +202,10 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     # ---- mesh + state -------------------------------------------------
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    if proc_n > 1:
+        # loud early guard: per-process padding cannot express the single
+        # -host pad + true_b path (parallel/distributed.py)
+        require_mesh_divisible(n_dev, bs=tr["bs"], bs_eval=tr["bs_eval"])
     opt_ae_state = opt_ae.init((dec_vars["params"], enc_vars["params"]))
     opt_dt_state = opt_dt.init(dt_vars["params"])
     opt_ds_state = opt_ds.init(ds_vars["params"])
@@ -214,6 +226,10 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         dec_vars, enc_vars, dt_vars, ds_vars,
         opt_ae_state, opt_dt_state, opt_ds_state,
     )
+    # multi-host: enter the collective phase together — the build above runs
+    # communication-free and can skew processes past the ~30 s Gloo
+    # rendezvous timeout (parallel/distributed.barrier docstring)
+    barrier("stage1-build")
     state = Stage1State(*[replicate(mesh, x) for x in state])
 
     step_fn = make_stage1_train_step(bundle, tr, (opt_ae, opt_dt, opt_ds))
@@ -296,7 +312,10 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                 np.transpose(np.asarray(seq_d)[:, 1:], (0, 1, 4, 2, 3)),
             ]
 
-        fetches = DeferredFetch(on_payload)
+        # fetch_local_rows_tree: the payload's video tensors are batch-
+        # sharded — in multi-host each process fetches only its rows (the
+        # GIF shows process 0's slice; plain device_get would raise)
+        fetches = DeferredFetch(on_payload, fetch=fetch_local_rows_tree)
 
         def run_single(batch):
             nonlocal state, actnorm_done, global_step, sequences
@@ -329,10 +348,12 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             )
             log_metrics({k: float(v) for k, v in metrics.items()})
             # plot_vid expects the torch (B,T,C,H,W) layout; seq_gen is
-            # already sliced to the true batch by the step, match it for seq
+            # already sliced to the true batch by the step, match it for
+            # seq. fetch_local_rows: multi-host-safe fetch of the batch-
+            # sharded tensors (this process's rows; plain asarray raises)
             sequences = [
-                np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
-                np.transpose(np.asarray(seq)[:tb, 1:], (0, 1, 4, 2, 3)),
+                np.transpose(fetch_local_rows(seq_gen), (0, 1, 4, 2, 3)),
+                np.transpose(fetch_local_rows(seq)[:tb, 1:], (0, 1, 4, 2, 3)),
             ]
             global_step += 1
 
@@ -388,8 +409,8 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         if last_eval is not None:
             seq_gen, seq, tb = last_eval
             sequences_eval = [
-                np.transpose(np.asarray(seq_gen), (0, 1, 4, 2, 3)),
-                np.transpose(np.asarray(seq)[:tb, 1:], (0, 1, 4, 2, 3)),
+                np.transpose(fetch_local_rows(seq_gen), (0, 1, 4, 2, 3)),
+                np.transpose(fetch_local_rows(seq)[:tb, 1:], (0, 1, 4, 2, 3)),
             ]
 
         if sequences_eval is not None and primary:

@@ -44,10 +44,12 @@ from ..models.stage1.decoder import Generator
 from ..models.stage1.resnet3d import Encoder
 from ..models.stage2.inn import SupervisedTransformer
 from ..parallel.distributed import (
+    barrier,
     make_global_batch,
     maybe_initialize,
     put_global,
     put_global_batch,
+    require_mesh_divisible,
 )
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
@@ -338,10 +340,20 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     # ---- mesh + step ---------------------------------------------------
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    if proc_n > 1:
+        # loud early guard: per-process padding cannot express the single
+        # -host pad + true_b path (parallel/distributed.py)
+        require_mesh_divisible(
+            n_dev, bs=opt.Training["bs"], bs_eval=opt.Training["bs_eval"]
+        )
     flow_params = net_vars["params"]["flow"]
     frozen = net_vars["params"]["embedder"]
     buffers = net_vars["buffers"]
     opt_state = optimizer.init(flow_params)
+    # multi-host: enter the collective phase together — the build above runs
+    # communication-free and can skew processes past the ~30 s Gloo
+    # rendezvous timeout (parallel/distributed.barrier docstring)
+    barrier("stage2-build")
     flow_params, frozen, buffers, opt_state, enc_vars_r = (
         replicate(mesh, x) for x in (flow_params, frozen, buffers, opt_state, enc_vars)
     )
@@ -502,13 +514,19 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             # padded to the LOCAL device multiple — multi-host asserts a
             # divisible global batch); assemble the (K,B,...) chunk on device
             raws = stack_staged(chunk)
-            if control:
-                conds = pad_chunk_axis(
-                    np.stack([np.asarray(b["cond"], np.float32) for b in chunk]),
-                    n_dev // proc_n,
-                )
-            else:
-                conds = np.zeros(raws.shape[:2] + (3,), np.float32)
+            # conds are built from the LOCAL rows (put_global below treats
+            # its input as process-local and assembles the global axis —
+            # deriving the zeros from the already-global ``raws`` shape
+            # would double the batch axis in multi-host runs)
+            conds = pad_chunk_axis(
+                np.stack([
+                    np.asarray(b["cond"], np.float32)
+                    if control
+                    else np.zeros((b["seq_raw"].shape[0], 3), np.float32)
+                    for b in chunk
+                ]),
+                n_dev // proc_n,
+            )
             keys = chunk_keys(root_key, global_step, len(chunk))
             flow_params, opt_state, auxs = multi_fn(
                 flow_params, opt_state, frozen, buffers, raws,

@@ -36,7 +36,15 @@ from ..models.backbones.lpips import LPIPS
 from ..models.layers import merge_actnorm_init
 from ..models.stage1.patch_disc import NLayerDiscriminator
 from ..models.stage2.biggan import BigAE
-from ..parallel.distributed import make_global_batch, maybe_initialize, put_global_batch
+from ..parallel.distributed import (
+    barrier,
+    fetch_local_rows,
+    fetch_local_rows_tree,
+    make_global_batch,
+    maybe_initialize,
+    put_global_batch,
+    require_mesh_divisible,
+)
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
 from ..utils.logging import CSVlogger, Logging, WandbSink
@@ -361,8 +369,16 @@ def _main(opt, max_steps: int | None = None):
     # ---- mesh ----------------------------------------------------------
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    if proc_n > 1:
+        # loud early guard: per-process padding cannot express the single
+        # -host pad + true_b path (parallel/distributed.py)
+        require_mesh_divisible(n_dev, bs=tr["bs"])
     opt_g_state = opt_gen.init((gen_vars["params"], logvar))
     opt_d_state = opt_disc.init(disc_vars["params"])
+    # multi-host: enter the collective phase together — the build above runs
+    # communication-free and can skew processes past the ~30 s Gloo
+    # rendezvous timeout (parallel/distributed.barrier docstring)
+    barrier("stage2-ae-build")
     gen_vars, disc_vars, logvar, opt_g_state, opt_d_state = (
         replicate(mesh, x)
         for x in (gen_vars, disc_vars, logvar, opt_g_state, opt_d_state)
@@ -436,7 +452,10 @@ def _main(opt, max_steps: int | None = None):
             loss_recon = float(metrics["Loss_recon"][-1])
             last_recon = (np.asarray(img_d), np.asarray(recon_d))
 
-        fetches = DeferredFetch(on_payload)
+        # fetch_local_rows_tree: the payload's recon-grid tensors are batch-
+        # sharded — in multi-host each process fetches only its rows (the
+        # grid shows process 0's slice; plain device_get would raise)
+        fetches = DeferredFetch(on_payload, fetch=fetch_local_rows_tree)
 
         def run_single(batch):
             nonlocal gen_vars, logvar, disc_vars, opt_g_state, opt_d_state
@@ -469,8 +488,10 @@ def _main(opt, max_steps: int | None = None):
             metrics = {k: float(v) for k, v in metrics.items()}
             loss_recon = metrics["Loss_recon"]
             log_metrics(metrics)
-            # recon is already sliced to the true batch by the step
-            last_recon = (np.asarray(img)[:tb], np.asarray(recon))
+            # recon is already sliced to the true batch by the step;
+            # fetch_local_rows: multi-host-safe fetch of the batch-sharded
+            # tensors (this process's rows; plain asarray raises)
+            last_recon = (fetch_local_rows(img)[:tb], fetch_local_rows(recon))
             global_step += 1
 
         def run_chunk(chunk):
