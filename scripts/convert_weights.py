@@ -12,6 +12,13 @@ Usage examples (paths mirror the reference's manual-download layout):
   python scripts/convert_weights.py dti3d32  --src ./models/DTI3D/length32/I3D_32.pth.tar
   python scripts/convert_weights.py fid      --src ./pt_inception-2015-12-05-6726825d.pth
   python scripts/convert_weights.py lpips    --src ./vgg.pth --vgg ./vgg16-397923af.pth
+
+  # the OFFICIAL TF-hub FVD backbone (i3d-kinetics-400/1): dump its
+  # variables to an .npz anywhere TF can load the hub module
+  #   np.savez("tf_i3d.npz", **{v.name: sess.run(v) for v in tf.global_variables()})
+  # then convert here (replaces models/PI3D/model_rgb.msgpack, making the
+  # FVD backbone weight-identical to the reference's official metric):
+  python scripts/convert_weights.py i3d_tf   --src ./tf_i3d.npz
 """
 
 import argparse
@@ -33,7 +40,7 @@ def _save(dst: str, variables: dict) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("kind", choices=["model_dir",
-                                    "i3d", "dti3d16", "dti3d32", "fid", "lpips",
+                                    "i3d", "i3d_tf", "dti3d16", "dti3d32", "fid", "lpips",
                                     "generator", "encoder", "disc_t", "disc_s",
                                     "cinn", "ae_encoder", "bigae"])
     p.add_argument("--src", required=True)
@@ -57,6 +64,15 @@ def main() -> None:
             print("wrote", w)
         if not out["written"]:
             print("nothing to convert (already converted or no .pth found)")
+        return
+
+    if args.kind == "i3d_tf":
+        import numpy as np
+
+        with np.load(args.src) as z:
+            var_dict = {k: z[k] for k in z.files}
+        dst = args.dst or "models/PI3D/model_rgb.msgpack"
+        _save(dst, C.convert_i3d_tf_hub(var_dict))
         return
 
     sd = C.load_torch_state_dict(args.src)

@@ -101,3 +101,83 @@ def test_checkpoint_save_async_orders_and_flushes(tmp_path):
     payload = ckpt_io.load(p)
     assert int(payload["epoch"]) == 2
     np.testing.assert_array_equal(payload["state_dict"]["w"], np.full((4,), 2, np.float32))
+
+
+def test_convert_i3d_tf_hub_structural():
+    """The TF-hub official-FVD converter (utils/convert.py::
+    convert_i3d_tf_hub) must produce exactly our I3D's parameter tree from a
+    TF-named variable dict: same treedef and shapes, kernels pass through
+    untransposed (TF conv3d is (D,H,W,In,Out) — the flax layout), sonnet's
+    scale-less BatchNorm maps beta→bn_bias with bn_scale = ones, and the
+    converted tree is consumable by a real forward. No TF weights exist in
+    this environment (zero egress), so this pins the structure the real
+    dump will flow through."""
+    import jax
+
+    from image2video_synthesis_using_cinns_tpu.models.backbones.i3d import I3D
+    from image2video_synthesis_using_cinns_tpu.utils import convert as C
+
+    module = I3D(num_classes=400, head="logits")
+    template = jax.eval_shape(
+        lambda: module.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 9, 32, 32, 3))
+        )
+    )["params"]
+
+    # synthesize the TF var dict from the inverse name map, shapes from the
+    # template (exercises the RGB/inception_i3d/ prefix and :0 stripping)
+    rng = np.random.default_rng(0)
+    var_dict = {}
+
+    def emit(fkey, tkey, bn=True, bias=False):
+        node = template
+        for part in fkey.split("/"):
+            node = node[part]
+        k = rng.standard_normal(node["conv3d"]["kernel"].shape).astype(np.float32)
+        var_dict[f"RGB/inception_i3d/{tkey}/conv_3d/w:0"] = k
+        if bias:
+            var_dict[f"RGB/inception_i3d/{tkey}/conv_3d/b:0"] = (
+                rng.standard_normal(node["conv3d"]["bias"].shape).astype(np.float32)
+            )
+        if bn:
+            c = node["bn_bias"].shape
+            for name in ("beta", "moving_mean", "moving_variance"):
+                var_dict[f"RGB/inception_i3d/{tkey}/batch_norm/{name}:0"] = (
+                    rng.standard_normal((1, 1, 1, 1) + c).astype(np.float32)
+                )
+
+    for ours, theirs in C.TF_I3D_UNITS.items():
+        emit(ours, theirs)
+    for m in C.MIXED_NAMES:
+        for ours, theirs in C.TF_I3D_BRANCHES.items():
+            emit(f"{m}/{ours}", f"{m.replace('mixed', 'Mixed')}/{theirs}")
+    emit("conv3d_0c_1x1", "Logits/Conv3d_0c_1x1", bn=False, bias=True)
+
+    out = C.convert_i3d_tf_hub(var_dict)["params"]
+
+    t_leaves = dict(jax.tree_util.tree_flatten_with_path(template)[0])
+    o_leaves = dict(jax.tree_util.tree_flatten_with_path(out)[0])
+    assert set(t_leaves) == set(o_leaves)
+    for path, t_leaf in t_leaves.items():
+        assert o_leaves[path].shape == t_leaf.shape, jax.tree_util.keystr(path)
+    # value pass-through: kernels untransposed, bn_scale ones
+    np.testing.assert_array_equal(
+        out["conv3d_1a_7x7"]["conv3d"]["kernel"],
+        var_dict["RGB/inception_i3d/Conv3d_1a_7x7/conv_3d/w:0"],
+    )
+    np.testing.assert_array_equal(
+        out["mixed_4d"]["branch_2b"]["bn_scale"],
+        np.ones_like(out["mixed_4d"]["branch_2b"]["bn_scale"]),
+    )
+    np.testing.assert_array_equal(
+        out["mixed_4d"]["branch_2b"]["bn_mean"],
+        var_dict["RGB/inception_i3d/Mixed_4d/Branch_2/Conv3d_0b_3x3/batch_norm/moving_mean:0"].reshape(-1),
+    )
+
+    # consumable: abstract-eval the forward at the real 224px protocol size
+    # (exact shape/dtype threading without burning CPU on a full I3D)
+    probs, logits = jax.eval_shape(
+        lambda p, x: module.apply({"params": p}, x),
+        out, jax.ShapeDtypeStruct((1, 16, 224, 224, 3), jnp.float32),
+    )
+    assert logits.shape == (1, 400), logits.shape
