@@ -27,18 +27,113 @@ def convert_seq2gif(sequence) -> np.ndarray:
 
 
 def save_video(path: str, video: np.ndarray, fps: int = 3, loops: int = 6) -> None:
+    """Looped video export (reference ``utils/auxiliaries.py:25-30`` writes a
+    6x-looped mp4 next to every GIF). mp4 needs an ffmpeg imageio backend;
+    without one we still always produce a real video artifact by writing a
+    pure-Python MJPEG AVI next to the requested path (every mainstream player
+    decodes MJPEG; no external codec binary involved)."""
+    long_video = np.tile(video, (loops, 1, 1, 1)).astype(np.uint8)
     import imageio
 
     try:
         writer = imageio.get_writer(path, fps=fps)
     except (ValueError, ImportError):
-        # mp4 needs an ffmpeg imageio backend, which may be absent —
-        # the GIF is the primary artifact.
+        write_mjpeg_avi(os.path.splitext(path)[0] + ".avi", long_video, fps=fps)
         return
-    long_video = np.tile(video, (loops, 1, 1, 1))
     for im in long_video:
-        writer.append_data(im.astype(np.uint8))
+        writer.append_data(im)
     writer.close()
+
+
+def write_mjpeg_avi(
+    path: str, frames: np.ndarray, fps: int = 3, quality: int = 92
+) -> None:
+    """Write (T, H, W, 3) uint8 frames as an MJPEG AVI without ffmpeg.
+
+    Plain RIFF container: one ``00dc`` chunk per JPEG-encoded frame (PIL)
+    plus the ``idx1`` index. MJPEG has no inter-frame state, so the writer
+    is ~container bookkeeping only.
+    """
+    import io
+    import struct
+
+    from PIL import Image
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (T,H,W,3) uint8 frames, got {frames.shape}")
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+
+    jpegs = []
+    for f in frames:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="JPEG", quality=quality)
+        data = buf.getvalue()
+        jpegs.append(data + (b"\x00" if len(data) % 2 else b""))
+    max_jpeg = max(len(j) for j in jpegs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack(
+        "<14I",
+        int(1_000_000 // fps),  # dwMicroSecPerFrame
+        max_jpeg * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n, 0, 1,  # dwTotalFrames, dwInitialFrames, dwStreams
+        max_jpeg, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0,  # dwFlags, wPriority|wLanguage, dwInitialFrames
+            1, fps,  # dwScale, dwRate → fps frames/s
+            0, n,  # dwStart, dwLength (frames)
+            max_jpeg, 0xFFFFFFFF, 0,  # buffer, quality(-1), sample size
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    idx, off = [], 4  # chunk offsets are relative to the 'movi' fourcc
+    for j in jpegs:
+        idx.append(b"00dc" + struct.pack("<3I", 0x10, off, len(j)))
+        off += 8 + len(j)
+    idx1 = chunk(b"idx1", b"".join(idx))
+
+    riff = b"AVI " + hdrl + lst(b"movi", movi_payload) + idx1
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def read_mjpeg_avi(path: str) -> np.ndarray:
+    """Decode an AVI written by :func:`write_mjpeg_avi` back to (T,H,W,3)
+    uint8 (test round-trips; also a no-ffmpeg reader for spot checks)."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    frames, pos = [], 0
+    while True:
+        pos = blob.find(b"00dc", pos)
+        if pos < 0:
+            break
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        payload = blob[pos + 8 : pos + 8 + size]
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI — skips the idx1 entries
+            frames.append(np.asarray(Image.open(io.BytesIO(payload)).convert("RGB")))
+        pos += 8 + size
+    return np.stack(frames)
 
 
 def plot_vid(opt, sequences, epoch: int = 0, mode: str = "train", path: str | None = None, axis: int = 1):
