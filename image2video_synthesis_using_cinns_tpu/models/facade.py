@@ -135,10 +135,12 @@ class Model:
 
         # ---- optional data-parallel serving mesh --------------------------
         self.mesh = None
+        self._fold_div = 1  # conv3d fold gate: per-DEVICE batch under DP
         if data_parallel:
             from ..parallel.mesh import make_mesh, replicate
 
             self.mesh = make_mesh()
+            self._fold_div = self.mesh.devices.size
             self.decoder_vars = replicate(self.mesh, self.decoder_vars)
             self.flow_vars = replicate(self.mesh, self.flow_vars)
             if self.encoder is not None:
@@ -227,33 +229,41 @@ class Model:
                 0, -(-self.vid_length // self._base_frames) - 1
             )  # extra decoder applications beyond the first
 
+            from .layers import conv3d_fold_divisor
+
             @jax.jit
             def sample(flow_vars, dec_vars, x0_cl, cond_extra, residual):
-                cond = [x0_cl] if cond_extra is None else [x0_cl, cond_extra]
-                z = self.flow.apply(flow_vars, residual, cond, reverse=True)
-                z = z.reshape(x0_cl.shape[0], -1)
-                seq = self._decode(dec_vars, x0_cl, z)
-                if n_repeats > 0:
-                    def ext(last_frame, _):
-                        s1 = self._decode(dec_vars, last_frame, z)
-                        return s1[:, -1], s1
+                # fold gate sees per-DEVICE batch under DP (global shape / mesh)
+                with conv3d_fold_divisor(self._fold_div):
+                    cond = [x0_cl] if cond_extra is None else [x0_cl, cond_extra]
+                    z = self.flow.apply(flow_vars, residual, cond, reverse=True)
+                    z = z.reshape(x0_cl.shape[0], -1)
+                    seq = self._decode(dec_vars, x0_cl, z)
+                    if n_repeats > 0:
+                        def ext(last_frame, _):
+                            s1 = self._decode(dec_vars, last_frame, z)
+                            return s1[:, -1], s1
 
-                    _, exts = jax.lax.scan(ext, seq[:, -1], None, length=n_repeats)
-                    # (n, B, T, H, W, C) → concat on time after the base clip
-                    exts = jnp.concatenate(
-                        [exts[i] for i in range(n_repeats)], axis=1
-                    )
-                    seq = jnp.concatenate([seq, exts], axis=1)
-                return seq[:, : self.vid_length] if seq.shape[1] > self.vid_length else seq, z
+                        _, exts = jax.lax.scan(ext, seq[:, -1], None, length=n_repeats)
+                        # (n, B, T, H, W, C) → concat on time after the base clip
+                        exts = jnp.concatenate(
+                            [exts[i] for i in range(n_repeats)], axis=1
+                        )
+                        seq = jnp.concatenate([seq, exts], axis=1)
+                    return seq[:, : self.vid_length] if seq.shape[1] > self.vid_length else seq, z
 
             self._fn_cache["sample"] = sample
         return self._fn_cache["sample"]
 
     def _decode_fn(self):
         if "decode" not in self._fn_cache:
-            self._fn_cache["decode"] = jax.jit(
-                lambda dec_vars, img, z: self._decode(dec_vars, img, z)
-            )
+            from .layers import conv3d_fold_divisor
+
+            def decode(dec_vars, img, z):
+                with conv3d_fold_divisor(self._fold_div):
+                    return self._decode(dec_vars, img, z)
+
+            self._fn_cache["decode"] = jax.jit(decode)
         return self._fn_cache["decode"]
 
     # ------------------------------------------------------------------
@@ -306,18 +316,20 @@ class Model:
         x0_cl = jnp.transpose(x_0, (0, 2, 3, 1))
 
         if "transfer" not in self._fn_cache:
+            from .layers import conv3d_fold_divisor
 
             @jax.jit
             def run(enc_vars, flow_vars, dec_vars, q_cl, x0_cl, key):
-                # dynamics of the query video (frames after the first)
-                _, z, _ = self.encoder.apply(
-                    enc_vars, q_cl[:, 1:], rngs={"sample": key}
-                )
-                res, _ = self.flow.apply(flow_vars, z, [q_cl[:, 0]])
-                res = jnp.tile(res.reshape(z.shape[0], -1), (x0_cl.shape[0], 1))
-                z_ref = self.flow.apply(flow_vars, res, [x0_cl], reverse=True)
-                z_ref = z_ref.reshape(x0_cl.shape[0], -1)
-                return self._decode(dec_vars, x0_cl, z_ref), z_ref
+                with conv3d_fold_divisor(self._fold_div):
+                    # dynamics of the query video (frames after the first)
+                    _, z, _ = self.encoder.apply(
+                        enc_vars, q_cl[:, 1:], rngs={"sample": key}
+                    )
+                    res, _ = self.flow.apply(flow_vars, z, [q_cl[:, 0]])
+                    res = jnp.tile(res.reshape(z.shape[0], -1), (x0_cl.shape[0], 1))
+                    z_ref = self.flow.apply(flow_vars, res, [x0_cl], reverse=True)
+                    z_ref = z_ref.reshape(x0_cl.shape[0], -1)
+                    return self._decode(dec_vars, x0_cl, z_ref), z_ref
 
             self._fn_cache["transfer"] = run
 

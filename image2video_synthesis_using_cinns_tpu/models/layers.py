@@ -8,6 +8,8 @@ ActNorm keeps its data-dependent-init flag in ``"actnorm_stats"``.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 from typing import Any, Callable, Sequence
 
@@ -196,6 +198,29 @@ class SNConv(nn.Module, _SpectralMixin):
         return y.astype(dtype)
 
 
+# Under data-parallel serving the jitted program is written in GLOBAL shapes
+# but each chip runs the conv at batch/n_devices — the space-to-batch rewrite
+# the fold exists to avoid is a PER-DEVICE decision. Callers that shard the
+# batch scope this divisor around their traced function so the gate compares
+# the per-device batch (contextvar: trace-time only, no retrace hazard — the
+# divisor is fixed per facade/mesh instance).
+_fold_divisor: contextvars.ContextVar[int] = contextvars.ContextVar(
+    "i2v_conv3d_fold_divisor", default=1
+)
+
+
+@contextlib.contextmanager
+def conv3d_fold_divisor(n_devices: int):
+    """Scope: the conv3d fold gate divides traced batch sizes by ``n_devices``
+    (the data-parallel shard count) before comparing against the fold
+    threshold. Wrap the *traced* body (inside jit), not the dispatch site."""
+    token = _fold_divisor.set(max(1, int(n_devices)))
+    try:
+        yield
+    finally:
+        _fold_divisor.reset(token)
+
+
 def _use_folded_conv3d(xshape, kernel_size, strides, padding) -> bool:
     """Small-batch (3,3,3) stride-1 SAME convs use the folded 2D lowering.
 
@@ -224,7 +249,8 @@ def _use_folded_conv3d(xshape, kernel_size, strides, padding) -> bool:
     )
     if mode == "fold":
         return eligible
-    return eligible and xshape[0] < 8
+    per_device_batch = -(-xshape[0] // _fold_divisor.get())
+    return eligible and per_device_batch < 8
 
 
 def _conv3x3x3_folded(x: jax.Array, kernel: jax.Array, dtype) -> jax.Array:

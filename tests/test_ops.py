@@ -164,3 +164,24 @@ def test_folded_conv3d_gate():
     assert not _use_folded_conv3d((24, 16, 64, 64, 128), (3, 3, 3), (1, 1, 1), (1, 1, 1))
     assert not _use_folded_conv3d((6, 16, 64, 64, 128), (3, 3, 3), (2, 2, 2), (1, 1, 1))
     assert not _use_folded_conv3d((6, 64, 64, 128), (3, 3), (1, 1), (1, 1))
+
+
+def test_folded_conv3d_gate_dp_divisor():
+    """Under data-parallel serving the gate compares the PER-DEVICE batch:
+    a global batch of 24 over 8 chips runs each conv at batch 3, which XLA
+    space-to-batch-rewrites just like a single-chip bs=3 program
+    (conv3d_fold_divisor scopes the shard count into the gate)."""
+    from image2video_synthesis_using_cinns_tpu.models.layers import (
+        _use_folded_conv3d,
+        conv3d_fold_divisor,
+    )
+
+    k, s, p = (3, 3, 3), (1, 1, 1), (1, 1, 1)
+    # global 24 is >= 8, but 24/8 chips = 3/chip → fold
+    assert not _use_folded_conv3d((24, 16, 64, 64, 128), k, s, p)
+    with conv3d_fold_divisor(8):
+        assert _use_folded_conv3d((24, 16, 64, 64, 128), k, s, p)
+        # 128/8 = 16/chip → direct lowering stays
+        assert not _use_folded_conv3d((128, 16, 64, 64, 128), k, s, p)
+    # scope exits cleanly
+    assert not _use_folded_conv3d((24, 16, 64, 64, 128), k, s, p)
