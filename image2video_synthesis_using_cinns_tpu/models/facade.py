@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from .. import config as cfg
 from ..utils import checkpoint as ckpt_io
+from ..utils import compile_cache
 from .stage1.decoder import Generator
 from .stage1.resnet3d import Encoder
 from .stage2.inn import SupervisedTransformer
@@ -60,6 +61,7 @@ class Model:
         a device multiple and unpadded on return; single-device behaviour is
         unchanged. DP-vs-single-device numeric parity is tested on the
         8-device CPU mesh (tests/test_parallel.py)."""
+        compile_cache.enable_persistent_cache()  # no-op if already configured
         self.config = cfg.load(_join(model_path, "config_stage2.yaml"))
         opt = self.config
         path_stage1 = _join(

@@ -53,6 +53,7 @@ from ..parallel.distributed import (
 )
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
+from ..utils import compile_cache
 from ..utils.logging import CSVlogger, Logging, WandbSink
 from ..utils.preemption import PreemptionGuard, maybe_enable_debug_nans
 from ..utils.seed import require_partitionable_threefry, set_seed
@@ -250,6 +251,7 @@ def make_scan_step(
 
 
 def main(opt, max_steps: int | None = None, eval_fvd: bool = True):
+    compile_cache.enable_persistent_cache()
     guard = PreemptionGuard()
     try:
         return _main(opt, guard, max_steps=max_steps, eval_fvd=eval_fvd)

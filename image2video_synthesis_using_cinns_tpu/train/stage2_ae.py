@@ -47,6 +47,7 @@ from ..parallel.distributed import (
 )
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt_io
+from ..utils import compile_cache
 from ..utils.logging import CSVlogger, Logging, WandbSink
 from ..utils.seed import set_seed
 from .chunks import (
@@ -276,6 +277,7 @@ def make_ae_scan_step(network: BigAE, disc: NLayerDiscriminator, lpips,
 
 
 def main(opt, max_steps: int | None = None):
+    compile_cache.enable_persistent_cache()
     try:
         return _main(opt, max_steps=max_steps)
     finally:

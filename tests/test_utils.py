@@ -232,3 +232,32 @@ def test_save_video_always_writes_artifact(tmp_path):
         assert read_mjpeg_avi(str(tmp_path / "v.avi")).shape[0] == 8  # 2 loops
     else:
         assert "v.mp4" in wrote
+
+
+def test_enable_persistent_cache_respects_existing(tmp_path, monkeypatch):
+    """Entry points enable a persistent XLA compile cache; an
+    already-configured cache dir (tests, JAX_COMPILATION_CACHE_DIR users)
+    must be left untouched, and I2V_JAX_CACHE picks the location otherwise."""
+    import jax
+
+    from image2video_synthesis_using_cinns_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    # conftest configured tests/.jax_cache → no-op, returns the existing dir
+    existing = jax.config.jax_compilation_cache_dir
+    assert existing
+    assert enable_persistent_cache() == existing
+    assert jax.config.jax_compilation_cache_dir == existing
+
+    # unconfigured → I2V_JAX_CACHE wins and the dir is created
+    monkeypatch.setenv("I2V_JAX_CACHE", str(tmp_path / "cc"))
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        got = enable_persistent_cache()
+        assert got == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+        assert jax.config.jax_compilation_cache_dir == got
+    finally:
+        jax.config.update("jax_compilation_cache_dir", existing)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
