@@ -220,6 +220,26 @@ class Model:
             t *= f
         return t
 
+    def _extend_traced(self, dec_vars, seq, z):
+        """Autoregressive extension INSIDE a traced program: re-decode from
+        the last frame via ``lax.scan`` until ``vid_length`` is covered, then
+        truncate. The reference re-dispatches the decoder per 16-frame chunk
+        on the host (``get_model.py:71-74`` forward, ``:99-101`` transfer);
+        fusing the loop costs one launch instead of one relay RPC per chunk.
+        The host-loop equivalent (:meth:`_extend`) is kept as the numerics
+        reference for the parity test."""
+        n_repeats = max(0, -(-self.vid_length // self._base_frames) - 1)
+        if n_repeats > 0:
+            def ext(last_frame, _):
+                s1 = self._decode(dec_vars, last_frame, z)
+                return s1[:, -1], s1
+
+            _, exts = jax.lax.scan(ext, seq[:, -1], None, length=n_repeats)
+            # (n, B, T, H, W, C) → concat on time after the base clip
+            exts = jnp.concatenate([exts[i] for i in range(n_repeats)], axis=1)
+            seq = jnp.concatenate([seq, exts], axis=1)
+        return seq[:, : self.vid_length] if seq.shape[1] > self.vid_length else seq
+
     def _sample_fn(self):
         """Sampling + autoregressive extension fused into ONE program: the
         reference re-dispatches the decoder per 16-frame chunk
@@ -227,10 +247,6 @@ class Model:
         the jit, so long sequences cost one launch (significant when each
         dispatch pays relay RPC latency)."""
         if "sample" not in self._fn_cache:
-            n_repeats = max(
-                0, -(-self.vid_length // self._base_frames) - 1
-            )  # extra decoder applications beyond the first
-
             from .layers import conv3d_fold_divisor
 
             @jax.jit
@@ -241,18 +257,7 @@ class Model:
                     z = self.flow.apply(flow_vars, residual, cond, reverse=True)
                     z = z.reshape(x0_cl.shape[0], -1)
                     seq = self._decode(dec_vars, x0_cl, z)
-                    if n_repeats > 0:
-                        def ext(last_frame, _):
-                            s1 = self._decode(dec_vars, last_frame, z)
-                            return s1[:, -1], s1
-
-                        _, exts = jax.lax.scan(ext, seq[:, -1], None, length=n_repeats)
-                        # (n, B, T, H, W, C) → concat on time after the base clip
-                        exts = jnp.concatenate(
-                            [exts[i] for i in range(n_repeats)], axis=1
-                        )
-                        seq = jnp.concatenate([seq, exts], axis=1)
-                    return seq[:, : self.vid_length] if seq.shape[1] > self.vid_length else seq, z
+                    return self._extend_traced(dec_vars, seq, z), z
 
             self._fn_cache["sample"] = sample
         return self._fn_cache["sample"]
@@ -300,6 +305,10 @@ class Model:
         return jnp.transpose(seq, (0, 1, 4, 2, 3))  # (B,T,C,H,W)
 
     def _extend(self, seq, z):
+        """Host-loop autoregressive extension (the reference's pattern,
+        ``get_model.py:71-74``). No longer on any production path — kept as
+        the dispatch-per-chunk numerics reference for the fused
+        :meth:`_extend_traced` parity test."""
         decode = self._decode_fn()
         while seq.shape[1] < self.vid_length:
             seq1 = decode(self.decoder_vars, seq[:, -1], z)
@@ -331,7 +340,11 @@ class Model:
                     res = jnp.tile(res.reshape(z.shape[0], -1), (x0_cl.shape[0], 1))
                     z_ref = self.flow.apply(flow_vars, res, [x0_cl], reverse=True)
                     z_ref = z_ref.reshape(x0_cl.shape[0], -1)
-                    return self._decode(dec_vars, x0_cl, z_ref), z_ref
+                    seq = self._decode(dec_vars, x0_cl, z_ref)
+                    # autoregressive extension fused into the same program —
+                    # one dispatch per transfer call regardless of seq_length
+                    # (the reference loops on the host, get_model.py:99-101)
+                    return self._extend_traced(dec_vars, seq, z_ref), z_ref
 
             self._fn_cache["transfer"] = run
 
@@ -346,7 +359,6 @@ class Model:
             self.encoder_vars, self.flow_vars, self.decoder_vars, q_cl, x0_cl,
             self._next_key(),
         )
-        seq_gen = self._extend(seq_gen, z_ref)
         if seq_gen.shape[0] != true_n:
             seq_gen = seq_gen[:true_n]
         return jnp.transpose(seq_gen, (0, 1, 4, 2, 3))

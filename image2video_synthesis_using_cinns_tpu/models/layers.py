@@ -213,7 +213,15 @@ _fold_divisor: contextvars.ContextVar[int] = contextvars.ContextVar(
 def conv3d_fold_divisor(n_devices: int):
     """Scope: the conv3d fold gate divides traced batch sizes by ``n_devices``
     (the data-parallel shard count) before comparing against the fold
-    threshold. Wrap the *traced* body (inside jit), not the dispatch site."""
+    threshold. Wrap the *traced* body (inside jit), not the dispatch site.
+
+    Caveat: the divisor applies to EVERY conv3d traced inside the scope,
+    including convs on replicated (non-batch-sharded) tensors — e.g. the
+    transfer path's encoder pass over the replicated query video. Today all
+    such tensors have batch 1 so the decision is unchanged, but a replicated
+    batch >= 8 inside a DP scope would be mis-gated into the folded lowering
+    (~0.57x at large batch). If that arises, scope the divisor only around
+    the sub-programs whose batch axis is actually sharded."""
     token = _fold_divisor.set(max(1, int(n_devices)))
     try:
         yield

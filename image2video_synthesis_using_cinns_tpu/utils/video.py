@@ -62,18 +62,22 @@ def write_mjpeg_avi(
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError(f"expected (T,H,W,3) uint8 frames, got {frames.shape}")
+    if frames.shape[0] == 0:
+        raise ValueError("write_mjpeg_avi needs at least one frame")
     n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
 
     jpegs = []
     for f in frames:
         buf = io.BytesIO()
         Image.fromarray(f).save(buf, format="JPEG", quality=quality)
-        data = buf.getvalue()
-        jpegs.append(data + (b"\x00" if len(data) % 2 else b""))
+        jpegs.append(buf.getvalue())
     max_jpeg = max(len(j) for j in jpegs)
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
-        return fourcc + struct.pack("<I", len(payload)) + payload
+        # RIFF: ckSize is the UNPADDED payload length; a pad byte follows
+        # odd-length payloads to keep chunks word-aligned.
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
 
     def lst(fourcc: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", fourcc + payload)
@@ -105,7 +109,7 @@ def write_mjpeg_avi(
     idx, off = [], 4  # chunk offsets are relative to the 'movi' fourcc
     for j in jpegs:
         idx.append(b"00dc" + struct.pack("<3I", 0x10, off, len(j)))
-        off += 8 + len(j)
+        off += 8 + len(j) + (len(j) % 2)  # header + payload + pad byte
     idx1 = chunk(b"idx1", b"".join(idx))
 
     riff = b"AVI " + hdrl + lst(b"movi", movi_payload) + idx1
@@ -123,16 +127,29 @@ def read_mjpeg_avi(path: str) -> np.ndarray:
 
     with open(path, "rb") as fh:
         blob = fh.read()
-    frames, pos = [], 0
-    while True:
-        pos = blob.find(b"00dc", pos)
-        if pos < 0:
-            break
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError(f"{path} is not a RIFF AVI file")
+
+    # Walk top-level chunks structurally until the 'movi' LIST, then iterate
+    # its sub-chunks — no pattern search, so header bytes can't alias '00dc'.
+    def _find_movi(pos: int, end: int) -> tuple[int, int]:
+        while pos + 8 <= end:
+            fourcc = blob[pos : pos + 4]
+            size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+            if fourcc == b"LIST" and blob[pos + 8 : pos + 12] == b"movi":
+                return pos + 12, pos + 8 + size
+            pos += 8 + size + (size % 2)
+        raise ValueError(f"{path}: no 'movi' LIST found")
+
+    pos, end = _find_movi(12, 8 + struct.unpack("<I", blob[4:8])[0])
+    frames = []
+    while pos + 8 <= end:
+        fourcc = blob[pos : pos + 4]
         size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
-        payload = blob[pos + 8 : pos + 8 + size]
-        if payload[:2] == b"\xff\xd8":  # JPEG SOI — skips the idx1 entries
+        if fourcc == b"00dc":
+            payload = blob[pos + 8 : pos + 8 + size]
             frames.append(np.asarray(Image.open(io.BytesIO(payload)).convert("RGB")))
-        pos += 8 + size
+        pos += 8 + size + (size % 2)
     return np.stack(frames)
 
 

@@ -51,6 +51,30 @@ def test_transfer(model_dir):
     assert out.shape == (3, 8, 3, p["img_size"], p["img_size"])
 
 
+def test_transfer_long_sequence_fused_matches_loop(model_dir):
+    """Long-sequence transfer extends autoregressively INSIDE the jitted
+    program (one dispatch); numerics must match the reference-style host
+    dispatch-per-chunk loop (get_model.py:99-101)."""
+    import jax
+
+    p = PRESETS["tiny"]
+    model = Model(model_dir + "/", vid_length=20, transfer=True, seed=7)
+    rng = np.random.default_rng(2)
+    query = rng.standard_normal((1, p["seq_length"], 3, p["img_size"], p["img_size"])).astype(np.float32)
+    x0 = rng.standard_normal((3, 3, p["img_size"], p["img_size"])).astype(np.float32)
+    out = model.transfer(query, x0)
+    assert out.shape == (3, 20, 3, p["img_size"], p["img_size"])
+    assert np.isfinite(np.asarray(out)).all()
+
+    # extension parity: fused lax.scan vs the host loop, same base clip + z
+    z = jnp.asarray(rng.standard_normal((3, p["z_dim"])), jnp.float32)
+    x0_cl = jnp.transpose(jnp.asarray(x0), (0, 2, 3, 1))
+    base = model._decode_fn()(model.decoder_vars, x0_cl, z)
+    fused = jax.jit(model._extend_traced)(model.decoder_vars, base, z)
+    loop = model._extend(base, z)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(loop), atol=1e-5)
+
+
 def test_landscape_128px_family(tmp_path_factory):
     """End-to-end facade on the 128px landscape-style architecture
     (nf 32, per-axis upsampling [2,2]/[2,1], resnet50 'bn' embedder)."""
