@@ -9,10 +9,18 @@ Protocol parity:
     time then truncates to 16 (line 174); 32-frame path asserts length 32.
   * official FVD (reference ``metrics/FVD/FVD.py``, TF1 + TF-hub): replaced by
     the JAX kinetics-I3D logits path — same metric definition (I3D logits +
-    Fréchet), different backbone weights provenance; videos are grouped in 16s
-    by the eval CLI exactly like the reference (``eval_synthesis_quality.py:
-    110-112``). The numerical delta vs the TF-hub graph is a weight-port
-    delta, not a protocol change.
+    Fréchet), and videos are grouped in 16s by the eval CLI exactly like the
+    reference (``eval_synthesis_quality.py:110-112``). Comparability caveat,
+    stated plainly: scores are comparable to published/official FVD numbers
+    ONLY when the backbone runs the actual TF-hub ``i3d-kinetics-400/1``
+    weights (dump them to ``.npz`` on a networked machine and convert with
+    ``utils/convert.py::convert_i3d_tf_hub`` — the converter's name/layout
+    mapping is numerically validated offline in
+    ``tests/test_torch_parity.py::test_i3d_tf_hub_converter_numerical_parity``;
+    procedure in ``docs/WEIGHTS.md``). With the PyTorch-port kinetics weights
+    (``models/PI3D``) the metric definition is identical but the weight
+    provenance differs, so treat those scores as internally consistent
+    (A-vs-B within this repo), not as official-FVD values.
 
 Weights: converted checkpoints at ``models/PI3D/model_rgb.msgpack`` and
 ``models/DTI3D/length{16,32}/...`` (mirroring the reference's manual-download
@@ -163,7 +171,13 @@ def compute_fvd_official_protocol(seq_fake, seq_real) -> float:
     """Replacement for the TF1 official-FVD driver
     (``metrics/FVD/evaluate_FVD.py:13-55``): accepts the grouped (G, 16, T, C,
     H, W) torch-layout tensors the eval CLI builds, flattens the groups and
-    scores with the kinetics I3D."""
+    scores with the kinetics I3D.
+
+    Comparability: identical protocol to the official metric, but the score
+    equals the official FVD only when ``models/PI3D`` holds weights converted
+    from the actual TF-hub module (see the module docstring / docs/WEIGHTS.md);
+    with the PyTorch-port weights the number is an in-repo FVD, not citable
+    against published tables."""
     model = load_model("kinetics")
     f = np.asarray(seq_fake)
     r = np.asarray(seq_real)

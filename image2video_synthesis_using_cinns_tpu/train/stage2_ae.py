@@ -298,6 +298,14 @@ def _main(opt, max_steps: int | None = None):
     gen_vars = jax.jit(network.init)(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, img_size, img_size, 3))
     )
+    if bool(opt.AE.get("pretrained", False)):
+        # ImageNet BigGAN init + fresh G_linear, the reference's intended AE
+        # recipe (generator.py:444-455); file location in docs/WEIGHTS.md
+        from ..utils import convert as _convert
+
+        gen_vars = jax.tree.map(
+            jnp.asarray, _convert.pretrained_init_biggan(
+                jax.device_get(gen_vars), dict(opt.AE)))
     disc = NLayerDiscriminator.from_config(opt.Discriminator_Patch)
     disc_vars = jax.jit(disc.init)(
         {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, img_size, img_size, 3))

@@ -576,11 +576,23 @@ def convert_inception_fid(sd: dict) -> dict:
 # BigGAN / BigAE
 # --------------------------------------------------------------------------
 
-def convert_biggan_generator(sd: dict, size: int = 64) -> dict:
+def convert_biggan_generator(sd: dict, size: int = 64,
+                             skip_g_linear: bool = False) -> dict:
+    """``skip_g_linear=True`` reproduces the reference's ImageNet-pretrained
+    init recipe (``generator.py:439-455``): ``load_state_dict`` of the plain
+    Generator64/128 checkpoint followed by ``update_G_linear`` which swaps in
+    a FRESH first linear sized for the variable z split — so the checkpoint's
+    G_linear is consumed but not mapped, leaving the template's fresh init."""
     f = _Filler(sd)
     n_blocks = 4 if size == 64 else 5
     f.linear("linear", "linear", bias=False)
-    f.linear("G_linear", "G_linear.module", spectral=True, bar=True)
+    if skip_g_linear:
+        for suffix in ("weight_bar", "weight_u", "weight_v", "bias"):
+            k = f"G_linear.module.{suffix}"
+            if k in f.sd:
+                f.used.add(k)
+    else:
+        f.linear("G_linear", "G_linear.module", spectral=True, bar=True)
     for i in range(n_blocks):
         t = f"GBlock.{i}"
         o = f"GBlock_{i}"
@@ -652,6 +664,39 @@ def convert_bigae(sd: dict, config: dict) -> dict:
         if dw:
             out[col]["decoder_wrap"] = dw
     return out
+
+
+def pretrained_init_biggan(gen_vars: dict, ae_cfg: dict,
+                           weights_root: str = "models",
+                           sd: dict | None = None) -> dict:
+    """``AE.pretrained: true``: initialise the BigGAN decoder from the
+    ImageNet checkpoint, exactly like the reference recipe
+    (``/root/reference/stage2_cINN/AE/modules/generator.py:444-455``):
+    ``load_state_dict(torch.load(biggan_{size}.pth))`` then ``update_G_linear``
+    — every decoder weight comes from the checkpoint EXCEPT ``G_linear``,
+    which stays at the template's fresh init (sized for the variable z
+    split). Encoder + ClassUp also stay fresh (the checkpoint has neither).
+
+    ``sd`` lets callers/tests inject an already-loaded state dict; otherwise
+    the file is read from ``{weights_root}/biggan/biggan_{size}.pth`` (the
+    fetch_weights registry location — note the reference's own download for
+    this file is broken upstream, see docs/WEIGHTS.md).
+    """
+    import os
+
+    size = int(ae_cfg["in_size"])
+    if sd is None:
+        path = os.path.join(weights_root, "biggan", f"biggan_{size}.pth")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"AE.pretrained=true but no ImageNet BigGAN checkpoint at "
+                f"{path}; see docs/WEIGHTS.md (entry biggan_{size}) for how "
+                f"to supply it, or set AE.pretrained: false")
+        sd = load_torch_state_dict(path)
+    dec = convert_biggan_generator(sd, size, skip_g_linear=True)
+    nested = {col: {"decoder_wrap": {"decoder": tree}} for col, tree in dec.items()}
+    merged, _missing = merge_into_template(gen_vars, nested)
+    return merged
 
 
 # --------------------------------------------------------------------------

@@ -31,6 +31,29 @@ from image2video_synthesis_using_cinns_tpu.utils import checkpoint as ckpt_io  #
 from image2video_synthesis_using_cinns_tpu.utils import convert as C  # noqa: E402
 
 
+_REGISTRY_NAME = {  # kind → fetch_weights registry entry (for integrity checks)
+    "i3d": "pi3d", "dti3d16": "dti3d16", "dti3d32": "dti3d32",
+    "fid": "fid", "lpips": "lpips", "i3d_tf": "i3d_tf_hub",
+}
+
+
+def _verify_source(kind: str, src: str) -> None:
+    """md5/sha256-check known torch sources even when supplied manually
+    (reference auto-download does this for LPIPS, ckpt_util.py:36-46)."""
+    name = _REGISTRY_NAME.get(kind)
+    if name is None:
+        return
+    import fetch_weights
+
+    fetch_weights.verify(name, src)
+
+
+def _verify_source_vgg16(src: str) -> None:
+    import fetch_weights
+
+    fetch_weights.verify("vgg16", src)
+
+
 def _save(dst: str, variables: dict) -> None:
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     ckpt_io.save(dst, {"state_dict": variables})
@@ -65,6 +88,10 @@ def main() -> None:
         if not out["written"]:
             print("nothing to convert (already converted or no .pth found)")
         return
+
+    _verify_source(args.kind, args.src)
+    if args.kind == "lpips" and args.vgg:
+        _verify_source_vgg16(args.vgg)
 
     if args.kind == "i3d_tf":
         import numpy as np

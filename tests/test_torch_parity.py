@@ -253,6 +253,91 @@ def test_resnet_encoder_parity():
     np.testing.assert_allclose(np.asarray(out), ref_out.reshape(2, -1), **TOL)
 
 
+def test_biggan_pretrained_init_parity():
+    """AE.pretrained=true recipe (reference generator.py:444-455): a plain
+    Generator64 ImageNet-style checkpoint is loaded into the VariableDim
+    generator and G_linear is re-initialised fresh (update_G_linear). Drive
+    the SAME seeded checkpoint through the reference torch recipe and through
+    utils/convert.py::pretrained_init_biggan on the full BigAE template; with
+    torch's fresh G_linear grafted in (the one intentionally-new layer), the
+    decoder forwards must match — and the encoder/ClassUp/G_linear leaves of
+    the template must be untouched by the init."""
+    torch.manual_seed(2409)
+    from stage2_cINN.AE.modules.generator import (
+        Generator64,
+        VariableDimGenerator64,
+        update_G_linear,
+    )
+
+    from image2video_synthesis_using_cinns_tpu.models.stage2.biggan import (
+        BigAE,
+        VariableDimGenerator,
+    )
+
+    plain = Generator64()  # chn=96: what a real biggan_64.pth contains
+    plain_sd = sd_np(plain)
+
+    # reference recipe
+    tmodel = VariableDimGenerator64(64)
+    tmodel.load_state_dict(plain.state_dict())
+    tmodel = update_G_linear(tmodel, 64 - 4 * 10).eval()
+
+    rng = np.random.default_rng(24)
+    z = rng.standard_normal((1, 64)).astype(np.float32)
+    emb = rng.standard_normal((1, 1000)).astype(np.float32)
+    with torch.no_grad():
+        tmodel(torch.from_numpy(z), torch.from_numpy(emb))  # warm up u,v
+        sd_t = sd_np(tmodel)  # post-warmup state, fresh G_linear included
+        ref_out = to_np(tmodel(torch.from_numpy(z), torch.from_numpy(emb)))
+
+    cfg = {"z_dim": 64, "deterministic": False, "in_size": 64,
+           "encoder_type": "resnet18", "norm": "in", "chn": 96,
+           "pretrained": True}
+    network = BigAE(config=cfg)
+    gen_vars = jax.jit(network.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    gen_vars = jax.device_get(gen_vars)
+
+    merged = C.pretrained_init_biggan(gen_vars, cfg, sd=sd_t)
+
+    # untouched-by-init leaves: encoder, ClassUp and the fresh G_linear
+    for col in gen_vars:
+        if "encoder" in gen_vars[col]:
+            np.testing.assert_array_equal(
+                np.asarray(jax.tree_util.tree_leaves(merged[col]["encoder"])[0]),
+                np.asarray(jax.tree_util.tree_leaves(gen_vars[col]["encoder"])[0]))
+    np.testing.assert_array_equal(
+        merged["params"]["decoder_wrap"]["decoder"]["G_linear"]["kernel"],
+        gen_vars["params"]["decoder_wrap"]["decoder"]["G_linear"]["kernel"])
+    assert merged["params"]["decoder_wrap"]["decoder"]["G_linear"]["kernel"].shape == (24, 24576)
+    np.testing.assert_array_equal(
+        jax.tree_util.tree_leaves(merged["params"]["decoder_wrap"]["map_to_class_embedding"])[0],
+        jax.tree_util.tree_leaves(gen_vars["params"]["decoder_wrap"]["map_to_class_embedding"])[0])
+    # pretrained leaves landed: class-embedding linear comes from the ckpt
+    np.testing.assert_allclose(
+        merged["params"]["decoder_wrap"]["decoder"]["linear"]["kernel"],
+        C.t_linear(plain_sd["linear.weight"]), rtol=0, atol=0)
+
+    # numerics: graft torch's fresh G_linear (the only new layer) and compare
+    # the bare decoder forward against the reference recipe's output
+    dec_vars = {col: tree["decoder_wrap"]["decoder"]
+                for col, tree in merged.items()
+                if "decoder_wrap" in tree and "decoder" in tree["decoder_wrap"]}
+    dec_vars["params"]["G_linear"] = {
+        "kernel": C.t_linear(sd_t["G_linear.module.weight_bar"]),
+        "bias": np.asarray(sd_t["G_linear.module.bias"]),
+    }
+    if "spectral" in dec_vars and "G_linear" in dec_vars["spectral"]:
+        dec_vars["spectral"]["G_linear"]["u"] = C.t_vec(sd_t["G_linear.module.weight_u"])
+    jmodel = VariableDimGenerator(size=64, z_dim=64, chn=96)
+    out = jax.jit(jmodel.apply)(dec_vars, jnp.asarray(z), jnp.asarray(emb))
+    np.testing.assert_allclose(nchw(np.asarray(out)), ref_out, rtol=1e-3, atol=1e-3)
+
+    # the unconverted plain checkpoint (pre-warmup, 20-in G_linear) must also
+    # load cleanly — shape mismatch would raise if skip_g_linear regressed
+    C.pretrained_init_biggan(gen_vars, cfg, sd=plain_sd)
+
+
 def test_biggan_generator_parity():
     torch.manual_seed(2262)
     from stage2_cINN.AE.modules.generator import load_variable_latsize_generator
@@ -342,6 +427,87 @@ def test_i3d_kinetics_parity():
     template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl))
     converted = C.convert_i3d_kinetics(sd_np(tmodel))
     variables, _ = C.merge_into_template(template, converted)
+    _, logits = jax.jit(jmodel.apply)(variables, jnp.asarray(x_cl))
+    np.testing.assert_allclose(np.asarray(logits), to_np(ref_logits), rtol=1e-3, atol=1e-3)
+
+
+# TF-hub kinetics-i3d graph: scope (under RGB/inception_i3d/) → the reference
+# torch port's module path (metrics/PyTorch_FVD/I3D.py). Transcribed HERE,
+# independently of utils/convert.py's tables, from the published DeepMind
+# kinetics-i3d variable naming — so a transcription slip in the converter's
+# TF name map fails this test instead of cancelling out.
+_TF_HUB_UNIT_TO_TORCH = {
+    "Conv3d_1a_7x7": "conv3d_1a_7x7",
+    "Conv3d_2b_1x1": "conv3d_2b_1x1",
+    "Conv3d_2c_3x3": "conv3d_2c_3x3",
+    "Logits/Conv3d_0c_1x1": "conv3d_0c_1x1",
+}
+for _mixed in ("3b", "3c", "4b", "4c", "4d", "4e", "4f", "5b", "5c"):
+    _TF_HUB_UNIT_TO_TORCH.update({
+        f"Mixed_{_mixed}/Branch_0/Conv3d_0a_1x1": f"mixed_{_mixed}.branch_0",
+        f"Mixed_{_mixed}/Branch_1/Conv3d_0a_1x1": f"mixed_{_mixed}.branch_1.0",
+        f"Mixed_{_mixed}/Branch_1/Conv3d_0b_3x3": f"mixed_{_mixed}.branch_1.1",
+        f"Mixed_{_mixed}/Branch_2/Conv3d_0a_1x1": f"mixed_{_mixed}.branch_2.0",
+        f"Mixed_{_mixed}/Branch_2/Conv3d_0b_3x3": f"mixed_{_mixed}.branch_2.1",
+        f"Mixed_{_mixed}/Branch_3/Conv3d_0b_1x1": f"mixed_{_mixed}.branch_3.1",
+    })
+
+
+def test_i3d_tf_hub_converter_numerical_parity():
+    """End-to-end numeric proof of the official-FVD weight path (the TF-hub
+    converter had only a structural test before): synthesize a TF-hub-format
+    checkpoint — real variable names under RGB/inception_i3d/ with :0
+    suffixes, (D,H,W,In,Out) conv kernels, sonnet-style (1,1,1,1,C) BN
+    moving stats and NO gamma (scale=False) — from a seeded reference torch
+    I3D, run it through convert_i3d_tf_hub, and require the converted JAX
+    I3D to match the torch forward's logits. Validates the converter's name
+    map, prefix/suffix stripping, kernel layout pass-through and BN
+    beta/mean/var reshape against the actual reference network
+    (/root/reference/metrics/PyTorch_FVD/I3D.py), not against its own
+    inverse. Real-weights procedure: docs/WEIGHTS.md + scripts/fetch_weights.py.
+    """
+    torch.manual_seed(6117)
+    sys.modules.pop("metrics", None)
+    from metrics.PyTorch_FVD.I3D import I3D as RefI3D
+
+    from image2video_synthesis_using_cinns_tpu.models.backbones.i3d import I3D
+
+    tmodel = RefI3D(400, "rgb").eval()
+    _randomize_bn_stats(tmodel, 6118)
+    # real TF-hub-derived weights have no BN gamma (sonnet scale=False →
+    # the torch port's gamma is identically 1); pin that here
+    with torch.no_grad():
+        for name, p in tmodel.named_parameters():
+            if name.endswith("batch3d.weight"):
+                p.fill_(1.0)
+
+    sd = sd_np(tmodel)
+    var_dict = {}
+    for tf_scope, tpath in _TF_HUB_UNIT_TO_TORCH.items():
+        prefix = f"RGB/inception_i3d/{tf_scope}"
+        # torch conv (Out,In,D,H,W) → TF (D,H,W,In,Out)
+        var_dict[f"{prefix}/conv_3d/w:0"] = np.transpose(
+            sd[f"{tpath}.conv3d.weight"], (2, 3, 4, 1, 0))
+        if f"{tpath}.conv3d.bias" in sd:
+            var_dict[f"{prefix}/conv_3d/b:0"] = sd[f"{tpath}.conv3d.bias"]
+        if f"{tpath}.batch3d.bias" in sd:
+            for tf_name, t_name in (("beta", "bias"), ("moving_mean", "running_mean"),
+                                    ("moving_variance", "running_var")):
+                var_dict[f"{prefix}/batch_norm/{tf_name}:0"] = (
+                    sd[f"{tpath}.batch3d.{t_name}"].reshape(1, 1, 1, 1, -1))
+
+    rng = np.random.default_rng(6119)
+    x = rng.uniform(0, 1, (1, 3, 16, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        _, ref_logits = tmodel(torch.from_numpy(x))
+
+    jmodel = I3D(num_classes=400, head="logits")
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    template = jax.jit(jmodel.init)({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl))
+    converted = C.convert_i3d_tf_hub(var_dict)
+    # every TF variable must be consumed and every template leaf produced
+    variables, missing = C.merge_into_template(template, {"params": converted["params"]})
+    assert not missing, f"template leaves unfilled by the TF-hub converter: {missing[:5]}"
     _, logits = jax.jit(jmodel.apply)(variables, jnp.asarray(x_cl))
     np.testing.assert_allclose(np.asarray(logits), to_np(ref_logits), rtol=1e-3, atol=1e-3)
 

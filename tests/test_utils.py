@@ -261,3 +261,15 @@ def test_enable_persistent_cache_respects_existing(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_compilation_cache_dir", existing)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def test_pretrained_init_biggan_missing_file_errors(tmp_path):
+    """AE.pretrained=true without the (manually-supplied) ImageNet checkpoint
+    must fail actionably, pointing at docs/WEIGHTS.md — the reference crashes
+    with a bare assert here (ckpt_util.py:37)."""
+    import pytest
+
+    from image2video_synthesis_using_cinns_tpu.utils import convert as C
+
+    with pytest.raises(FileNotFoundError, match="WEIGHTS.md"):
+        C.pretrained_init_biggan({}, {"in_size": 64}, weights_root=str(tmp_path))
