@@ -40,10 +40,8 @@ def main():
     from image2video_synthesis_using_cinns_tpu.data.augment import build_augment
     from image2video_synthesis_using_cinns_tpu.data.framestore import open_or_build
     from image2video_synthesis_using_cinns_tpu.data.loader import Loader
-    from image2video_synthesis_using_cinns_tpu.metrics.diversity import (
-        compute_DTI3D_diversity,
-        compute_I3D_diversity,
-        compute_vgg_diversity,
+    from image2video_synthesis_using_cinns_tpu.metrics.streaming_eval import (
+        DiversityStream,
     )
     from image2video_synthesis_using_cinns_tpu.models.facade import Model
     from image2video_synthesis_using_cinns_tpu.utils.seed import set_seed
@@ -63,25 +61,36 @@ def main():
                     framestore=fs)
     aug = build_augment(img_size, None, False, False)
 
-    seq_fake = []
-    for _ in range(args.n_realiz):
-        seq_fakes = []
-        for batch in loader.epoch_iter(0):
-            seq_cl = aug(jnp.asarray(batch["seq_raw"]), jax.random.PRNGKey(0))
-            seq = np.transpose(np.asarray(seq_cl), (0, 1, 4, 2, 3))
-            seq_fakes.append(np.asarray(model(seq[:, 0])))
-        seq_fake.append(np.concatenate(seq_fakes, axis=0))
-    seq1 = np.stack(seq_fake, axis=1)  # (B, n_realiz, T, C, H, W)
+    # Streaming, batch-major: each eval batch is sampled n_realiz times and
+    # reduced to backbone embeddings / pairwise scalars immediately, instead
+    # of materialising the full (B, n_realiz, T, C, H, W) fp32 stack
+    # (/root/reference/eval_diversity.py is realisation-major and hoards it
+    # all). To keep values identical to the realisation-major order, the
+    # facade's ν stream is pre-drawn realisation-major and injected —
+    # each (realisation, batch) pair gets exactly the noise it had before
+    # (metrics/streaming_eval.py; parity test tests/test_streaming_eval.py).
+    stream = DiversityStream(
+        args.n_realiz, want_vgg=bool(args.VGG), want_i3d=bool(args.I3D),
+        want_dti3d=bool(args.DTI3D), seq_length=args.seq_length,
+    )
+    n = len(loader.dataset)
+    sizes = [args.bs] * (n // args.bs) + ([n % args.bs] if n % args.bs else [])
+    residuals = [[model.draw_residual(s) for s in sizes]
+                 for _ in range(args.n_realiz)]
+    for i, batch in enumerate(loader.epoch_iter(0)):
+        seq_cl = aug(jnp.asarray(batch["seq_raw"]), jax.random.PRNGKey(0))
+        seq = np.transpose(np.asarray(seq_cl), (0, 1, 4, 2, 3))
+        gens = [np.asarray(model.forward(seq[:, 0], residual=residuals[r][i]))
+                for r in range(args.n_realiz)]
+        stream.add_batch(np.stack(gens, axis=1))  # (B, n_realiz, T, C, H, W)
 
+    results = stream.results()
     if args.VGG:
-        div = compute_vgg_diversity(seq1)
-        print(f"Diversity score of {div} using VGG backbone")
+        print(f"Diversity score of {results['VGG']} using VGG backbone")
     if args.DTI3D:
-        div = compute_DTI3D_diversity(seq1)
-        print(f"Diversity score of {div} using I3D backbone pretrained on dynamic textures")
+        print(f"Diversity score of {results['DTI3D']} using I3D backbone pretrained on dynamic textures")
     if args.I3D:
-        div = compute_I3D_diversity(seq1, args.n_realiz)
-        print(f"Diversity score of {div} using I3D kinetics backbone")
+        print(f"Diversity score of {results['I3D']} using I3D kinetics backbone")
 
 
 if __name__ == "__main__":

@@ -62,73 +62,48 @@ def main():
                     framestore=fs)
     aug = build_augment(img_size, None, False, False)
 
-    seq_real, seq_fake = [], []
+    # Streaming: each batch is reduced to backbone activations immediately —
+    # peak host memory is one batch of clips plus activation rows, instead of
+    # the reference's whole-eval-set fp32 arrays
+    # (/root/reference/eval_synthesis_quality.py:41-113). Reductions and
+    # tail-drop populations match the materialised path exactly
+    # (metrics/streaming_eval.py; parity test tests/test_streaming_eval.py).
+    from image2video_synthesis_using_cinns_tpu.metrics.streaming_eval import (
+        SynthesisQualityStream,
+    )
+
+    stream = SynthesisQualityStream(
+        want_fid=bool(args.FID), want_lpips=bool(args.LPIPS),
+        want_fvd=bool(args.FVD), want_dtfvd=bool(args.DTFVD),
+        seq_length=args.seq_length,
+    )
     for batch in loader.epoch_iter(0):
         seq_cl = aug(jnp.asarray(batch["seq_raw"]), jax.random.PRNGKey(0))
         seq = np.transpose(np.asarray(seq_cl), (0, 1, 4, 2, 3))  # (B,T,C,H,W)
         gen = np.asarray(model(seq[:, 0]))
         if args.dataset == "bair":
             gen = np.concatenate((seq[:, :1], gen[:, :-1]), axis=1)
-            seq_real.append(seq[:, :-1])
+            real = seq[:, :-1]
         elif args.dataset == "iPER":
             gen = np.concatenate((seq[:, :1], gen), axis=1)
-            seq_real.append(seq)
+            real = seq
         else:
-            seq_real.append(seq[:, :-1])
-        seq_fake.append(gen)
+            real = seq[:, :-1]
+        stream.add_batch(gen, real)
 
-    seq2 = np.concatenate(seq_real, 0)
-    seq1 = np.concatenate(seq_fake, 0)
-    assert seq2.shape == seq1.shape
-
-    if args.FID or args.LPIPS:
-        pd_imgs = seq1.reshape((-1,) + seq1.shape[2:])
-        gt_imgs = seq2.reshape((-1,) + seq2.shape[2:])
-
+    results = stream.results()
     if args.FID:
         print("Evaluate FID")
-        from image2video_synthesis_using_cinns_tpu.metrics.fid import (
-            calculate_FID,
-            load_inception,
-        )
-
-        FID, _ = calculate_FID(load_inception(), pd_imgs, gt_imgs, 50, 2048)
-        print(f"FID score of {FID}")
-
+        print(f"FID score of {results['FID']}")
     if args.LPIPS:
         print("Evaluate LPIPS")
-        from image2video_synthesis_using_cinns_tpu.metrics.lpips_eval import (
-            compute_lpips,
-        )
-
-        val = compute_lpips(pd_imgs, gt_imgs, batch_size=10)
-        print(f"LPIPS score of {val}")
-
+        print(f"LPIPS score of {results['LPIPS']}")
     if args.DTFVD:
         print("Evaluate DTFVD")
-        from image2video_synthesis_using_cinns_tpu.metrics import fvd as fvd_mod
-
-        kind = "dt32" if args.seq_length > 16 else "dt16"
-        model_i3d = fvd_mod.load_model(kind)
-        s1 = np.transpose(seq1, (0, 1, 3, 4, 2))
-        s2 = np.transpose(seq2, (0, 1, 3, 4, 2))
-        DTFVD = fvd_mod.calculate_FVD(model_i3d, s1, s2, 40)
-        print(f"DTFVD score of {DTFVD}")
-
+        print(f"DTFVD score of {results['DTFVD']}")
     if args.FVD:
         print("Evaluate FVD")
-        from image2video_synthesis_using_cinns_tpu.metrics.fvd import (
-            compute_fvd_official_protocol,
-        )
-
-        g = seq1[: seq1.shape[0] // 16 * 16].reshape(
-            (-1, 16) + seq1.shape[1:]
-        )
-        r = seq2[: seq2.shape[0] // 16 * 16].reshape(
-            (-1, 16) + seq2.shape[1:]
-        )
-        fvd = compute_fvd_official_protocol(g, r)
-        print(f"FVD score of {fvd}")
+        print(f"FVD score of {results['FVD']}")
 
 
 if __name__ == "__main__":

@@ -277,6 +277,13 @@ class Model:
     def __call__(self, x_0, cond=None):
         return self.forward(x_0, cond)
 
+    def draw_residual(self, batch_size: int) -> jax.Array:
+        """Draw the next ν from the facade's key stream — the same stream
+        ``forward`` consumes when ``residual`` is None. Lets callers reorder
+        generation loops (e.g. the batch-major streaming diversity CLI)
+        without changing which noise pairs with which input."""
+        return jax.random.normal(self._next_key(), (batch_size, self.z_dim))
+
     def forward(self, x_0, cond=None, residual=None):
         """x_0: (B,C,H,W) in [-1,1] → video (B,T,C,H,W).
 
