@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.resize import upsample_nearest
+from ...parallel.spatial import constrain_spatial
 from ..layers import SNConv, SNDense, leaky_relu
 from .normalization import ADAIN, Norm3D, Spade
 
@@ -103,24 +104,29 @@ class Generator(nn.Module):
 
         x = GeneratorBlock(16 * nf, 16 * nf, sn, name="head_0")(x, motion, img)
 
+        # constrain_spatial: width-shard under parallel.spatial.spatial_sharding
+        # (identity otherwise / at non-divisible widths) — one anchor per
+        # resolution stage; GSPMD propagates through the block's convs/norms.
         x = upsample_nearest(x, (2, 2, 2), (1, 2, 3))
-        x = GeneratorBlock(16 * nf, 16 * nf, sn, name="g_0")(x, motion, img)
+        x = GeneratorBlock(16 * nf, 16 * nf, sn, name="g_0")(constrain_spatial(x), motion, img)
 
         x = upsample_nearest(x, (2, 2, 2), (1, 2, 3))
-        x = GeneratorBlock(16 * nf, 8 * nf, sn, name="g_1")(x, motion, img)
+        x = GeneratorBlock(16 * nf, 8 * nf, sn, name="g_1")(constrain_spatial(x), motion, img)
 
         x = upsample_nearest(x, (2, 2, 2), (1, 2, 3))
-        x = GeneratorBlock(8 * nf, 4 * nf, sn, name="g_2")(x, motion, img)
+        x = GeneratorBlock(8 * nf, 4 * nf, sn, name="g_2")(constrain_spatial(x), motion, img)
 
         x = upsample_nearest(
             x, (self.upsample_t[0], self.upsample_s[0], self.upsample_s[0]), (1, 2, 3)
         )
-        x = GeneratorBlock(4 * nf, 2 * nf, sn, name="g_3")(x, motion, img)
+        x = GeneratorBlock(4 * nf, 2 * nf, sn, name="g_3")(constrain_spatial(x), motion, img)
 
         x = upsample_nearest(
             x, (self.upsample_t[1], self.upsample_s[1], self.upsample_s[1]), (1, 2, 3)
         )
-        x = GeneratorBlock(2 * nf, 1 * nf, sn, name="g_4")(x, motion, img)
+        x = GeneratorBlock(2 * nf, 1 * nf, sn, name="g_4")(constrain_spatial(x), motion, img)
 
-        x = SNConv(3, (3, 3, 3), padding=(1, 1, 1), name="conv_img")(leaky_relu(x, 0.2))
+        x = SNConv(3, (3, 3, 3), padding=(1, 1, 1), name="conv_img")(
+            leaky_relu(constrain_spatial(x), 0.2)
+        )
         return jnp.tanh(x)

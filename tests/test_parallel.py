@@ -449,3 +449,69 @@ def test_stage2_ae_dp_step_nondivisible_batch_matches_true_batch():
         a, b = np.asarray(a), np.asarray(b)
         bad = np.abs(a - b) > (1e-4 + 3e-3 * np.abs(b))
         assert bad.mean() < 0.10, f"disc_vars: {bad.mean():.1%} elements diverged"
+
+
+# ---------------------------------------------------------------------------
+# Spatial (width-axis) decoder sharding — parallel/spatial.py prototype
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_sharded_decoder_matches_single_device():
+    """Width-sharding the SPADE decoder over the 8-device mesh reproduces the
+    single-device forward (GSPMD halo-exchange convs are exact; only the
+    norm-stat reductions reassociate), and the compiled program really does
+    run sharded (halo collective-permutes present, sharded output)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from image2video_synthesis_using_cinns_tpu.models.stage1.decoder import (
+        Generator,
+    )
+    from image2video_synthesis_using_cinns_tpu.parallel.spatial import (
+        spatial_sharding,
+    )
+
+    dec = Generator(channel_factor=8, z_dim=64, upsample_s=(2, 1),
+                    upsample_t=(1, 2), spectral_norm=True)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32))
+    variables = jax.jit(dec.init)({"params": jax.random.PRNGKey(0)}, img, z)
+    ref = np.asarray(jax.jit(dec.apply)(variables, img, z))
+    assert ref.shape == (1, 16, 64, 64, 3)
+
+    mesh = make_mesh(8, "model")
+    rep = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P(None, None, None, "model", None))
+
+    def fwd(v, img, z):
+        with spatial_sharding(mesh, "model"):
+            return dec.apply(v, img, z)
+
+    f = jax.jit(fwd, in_shardings=(rep, rep, rep), out_shardings=out_sh)
+    out = f(variables, img, z)
+    assert not out.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    # the halo exchange is real: conv over a W-sharded operand requires
+    # one column slab per neighbour per 3^3/3x3 conv
+    hlo = f.lower(variables, img, z).compile().as_text()
+    assert "collective-permute" in hlo
+
+
+def test_constrain_spatial_identity_outside_scope():
+    from image2video_synthesis_using_cinns_tpu.parallel.spatial import (
+        constrain_spatial,
+    )
+
+    x = jnp.ones((2, 4, 8, 8, 3))
+    assert constrain_spatial(x) is x
+
+    # inside the scope, non-divisible widths are left alone
+    mesh = make_mesh(8, "model")
+    from image2video_synthesis_using_cinns_tpu.parallel.spatial import (
+        spatial_sharding,
+    )
+
+    with spatial_sharding(mesh, "model"):
+        y = constrain_spatial(jnp.ones((1, 2, 4, 4, 8)))  # W=4 < 8 devices
+    assert isinstance(y, jax.Array)
