@@ -168,7 +168,10 @@ def audit_stage2(bs, k, repeats, dtype):
     dt = _best(run, repeats)
     ceil = CEIL_BF16 if mp_dt is not None else CEIL_FP32
     _report(f"stage2 cINN bs={bs} {dtype}", flops, bytes_acc, dt, k, ceil)
-    return encoder, enc_vars, network, optimizer, fp, frozen, buffers, os_, bs, k, repeats, mp_dt, T, img
+    # the scan step donates its (fp, os) arguments — hand back the LIVE
+    # post-run state, not the deleted originals
+    return (encoder, enc_vars, network, optimizer, state["fp"], frozen,
+            buffers, state["os"], bs, k, repeats, mp_dt, T, img)
 
 
 def audit_stage2_components(bs, k, repeats, dtype):
@@ -323,7 +326,7 @@ def audit_ae(bs, k, repeats, img=64):
     _report(f"stage2 AE bs={bs} fp32", flops, bytes_acc, dt, k, CEIL_FP32)
 
 
-def _stage1_setup(img):
+def _stage1_setup(img, no_gp=False):
     from image2video_synthesis_using_cinns_tpu.train.stage1 import build_stage1
     from image2video_synthesis_using_cinns_tpu.train.stage1_step import (
         Stage1State,
@@ -332,6 +335,8 @@ def _stage1_setup(img):
     preset = "bair" if img == 64 else "landscape"
     opt = stage1_config(PRESETS[preset])
     tr = dict(opt.Training, compute_dtype="bfloat16", fused_step=True)
+    if no_gp:
+        tr["w_GP"] = 0  # A/B: quantify the GP double-backward's share
     bundle, dec_vars, enc_vars, dt_vars, ds_vars = build_stage1(
         opt, jax.random.PRNGKey(0))
     opts = (adam_torch(2e-4, betas=(0.5, 0.9)),) * 3
@@ -388,14 +393,14 @@ def audit_stage1(bs, k, repeats, img=64):
             CEIL_BF16)
 
 
-def audit_stage1_phases(bs, k, repeats, img=64):
+def audit_stage1_phases(bs, k, repeats, img=64, no_gp=False):
     """Disc phase vs VAE phase: separate cost analysis + separate scan timing
     (each phase scanned K times with its own state threaded as the carry)."""
     from image2video_synthesis_using_cinns_tpu.train.stage1_step import (
         _build_phases,
     )
 
-    opt, tr, bundle, opts, state = _stage1_setup(img)
+    opt, tr, bundle, opts, state = _stage1_setup(img, no_gp=no_gp)
     disc_step, vae_step = _build_phases(bundle, tr, opts)
 
     T = 17
@@ -464,10 +469,80 @@ def audit_stage1_phases(bs, k, repeats, img=64):
     ddt = _best(run_disc, repeats)
     run_vae()
     vdt = _best(run_vae, repeats)
-    _report(f"stage1 {img}px DISC phase bf16", dflops, dbytes, ddt, k,
+    tag = " no-GP" if no_gp else ""
+    _report(f"stage1 {img}px DISC phase bf16{tag}", dflops, dbytes, ddt, k,
             CEIL_BF16)
-    _report(f"stage1 {img}px VAE phase bf16", vflops, vbytes, vdt, k,
+    _report(f"stage1 {img}px VAE phase bf16{tag}", vflops, vbytes, vdt, k,
             CEIL_BF16)
+
+
+_S2B_MARKERS = ("space-to-batch", "space_to_batch", "SpaceToBatch")
+
+
+def _scan_hlo(label, compiled_text):
+    """Count space-to-batch signatures in optimized HLO text.
+
+    XLA:TPU's SpaceToBatchConverter stamps rewritten graphs via op names /
+    metadata; as a calibration backstop we also count convolutions whose
+    operand carries the rewrite's signature haloed block dim (a trailing
+    (..., blocks, 9|27, C) operand — see BASELINE.md round-3 'conv
+    lowering'). The known-positive control below validates whichever marker
+    this XLA version emits."""
+    import re
+
+    hits = {m: compiled_text.count(m) for m in _S2B_MARKERS}
+    halo = len(re.findall(r"f32\[\d+,\d+,\d+,(?:9|27),\d+\]", compiled_text))
+    halo += len(re.findall(r"bf16\[\d+,\d+,\d+,(?:9|27),\d+\]", compiled_text))
+    nconv = compiled_text.count(" convolution(")
+    print(f"[{label}] convs={nconv} s2b-markers={hits} haloed-9/27-dim "
+          f"operands={halo}")
+    return hits, halo
+
+
+def s2b_check(bs, img=64):
+    """Judge question (VERDICT round-3 #6): does the space-to-batch rewrite
+    fire inside the stage-1 discriminators' strided convs at training batch
+    sizes? Compile a known-positive control (bs=6 decoder conv, direct
+    lowering) to calibrate the marker, then scan both phase programs."""
+    from image2video_synthesis_using_cinns_tpu.train.stage1_step import (
+        _build_phases,
+    )
+
+    # known-positive control: direct-lowered 3^3 conv at batch 6 (the exact
+    # case round 3 measured the rewrite on — raw lax conv, no fold gate)
+    @jax.jit
+    def ctrl(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    x = jnp.zeros((6, 16, 64, 64, 128), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 3, 128, 128), jnp.bfloat16)
+    txt = ctrl.lower(x, w).compile().as_text()
+    _scan_hlo("CONTROL bs=6 direct 3^3 conv (rewrite expected)", txt)
+
+    opt, tr, bundle, opts, state = _stage1_setup(img)
+    disc_step, vae_step = _build_phases(bundle, tr, opts)
+    T = 17
+    seq = jnp.zeros((bs, T, img, img, 3), jnp.float32)
+    epoch = jnp.int32(int(tr["pretrain"]))
+    ks, ksub, kp = jax.random.split(jax.random.PRNGKey(7), 3)
+    lp = bundle.lpips_vars
+
+    disc_j = jax.jit(lambda dtv, dsv, odt, ods, dv, ev, seq_, ks_, ksub_, kp_:
+                     disc_step(dtv, dsv, odt, ods, dv, ev, seq_, epoch,
+                               ks_, ksub_, kp_))
+    vae_j = jax.jit(lambda dv, ev, oae, dtv, dsv, lp_, seq_, ks_, ksub_, kp_:
+                    vae_step(dv, ev, oae, dtv, dsv, lp_, seq_, epoch,
+                             ks_, ksub_, kp_))
+    txt = disc_j.lower(state.disc_t_vars, state.disc_s_vars, state.opt_dt,
+                       state.opt_ds, state.dec_vars, state.enc_vars, seq,
+                       ks, ksub, kp).compile().as_text()
+    _scan_hlo(f"stage1 DISC phase bs={bs}", txt)
+    txt = vae_j.lower(state.dec_vars, state.enc_vars, state.opt_ae,
+                      state.disc_t_vars, state.disc_s_vars, lp, seq,
+                      ks, ksub, kp).compile().as_text()
+    _scan_hlo(f"stage1 VAE phase bs={bs}", txt)
 
 
 def main():
@@ -479,6 +554,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--phases", action="store_true")
     ap.add_argument("--components", action="store_true")
+    ap.add_argument("--no-gp", action="store_true",
+                    help="stage-1 phases with w_GP=0 (GP cost A/B)")
+    ap.add_argument("--s2b-check", action="store_true",
+                    help="scan optimized HLO for space-to-batch rewrites")
     ap.add_argument("--dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
     a = ap.parse_args()
@@ -489,9 +568,11 @@ def main():
             audit_stage2(a.bs or 50, a.k or 8, a.repeats, a.dtype)
     elif a.which == "ae":
         audit_ae(a.bs or 30, a.k or 8, a.repeats)
+    elif a.s2b_check:
+        s2b_check(a.bs or (10 if a.img == 64 else 7), img=a.img)
     elif a.phases:
         audit_stage1_phases(a.bs or (10 if a.img == 64 else 7), a.k or 4,
-                            a.repeats, img=a.img)
+                            a.repeats, img=a.img, no_gp=a.no_gp)
     else:
         audit_stage1(a.bs or (10 if a.img == 64 else 7), a.k or 4, a.repeats,
                      img=a.img)
