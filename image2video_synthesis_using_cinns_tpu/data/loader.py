@@ -51,6 +51,8 @@ class Loader:
         process_index: int = 0,
         process_count: int = 1,
         tail_multiple: int | None = None,
+        frames_per_item: int | None = None,
+        with_meta: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -74,6 +76,13 @@ class Loader:
         # batches whose global size does not divide it — loudly, once.
         self.tail_multiple = tail_multiple
         self._warned_tail = False
+        # Posterior-cache input mode (train/posterior_cache.py): decode only
+        # the first ``frames_per_item`` frames of each sampled window (the
+        # conditioning frame) — the rest of the clip never leaves the host —
+        # and ship the (index, start) window identity with the batch so the
+        # trainer can gather the window's cached (mu, logvar) on device.
+        self.frames_per_item = frames_per_item
+        self.with_meta = with_meta
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -96,11 +105,16 @@ class Loader:
 
     def _load_item(self, idx: int, rng: np.random.Generator):
         item = self.dataset.sample(idx, rng)
+        if self.frames_per_item is not None:
+            # window identity ('start') is sampled from the FULL window range
+            # first, so the truncated decode sees the same per-item RNG stream
+            # as a full-window load of the same (seed, epoch, idx)
+            item = dict(item, paths=item["paths"][: self.frames_per_item])
         if self.framestore is not None:
             frames = self.framestore.read_window(item)
         else:
             frames = np.stack([_imread_rgb(p) for p in item["paths"]], axis=0)
-        return frames, item.get("cond")
+        return frames, item.get("cond"), item["index"], item["start"]
 
     def __iter__(self):
         return self.epoch_iter(0)
@@ -140,6 +154,9 @@ class Loader:
                     batch = {"seq_raw": seq}
                     if results[0][1] is not None:
                         batch["cond"] = np.stack([r[1] for r in results], axis=0)
+                    if self.with_meta:
+                        batch["index"] = np.asarray([r[2] for r in results], np.int64)
+                        batch["start"] = np.asarray([r[3] for r in results], np.int64)
                     q.put(batch)
             q.put(None)
 

@@ -1,0 +1,175 @@
+"""Posterior-moment cache for stage-2 cINN training (``Training.cache_posteriors``).
+
+The round-4 MFU audit (BASELINE.md) showed the stage-2 step is dominated by
+the FROZEN 3D-ResNet encoder forward (~68% of step FLOPs, already at ~80%
+MFU — no kernel win left), and that on relay-class host links the epoch is
+bounded by the per-step input stream: the full 17-frame uint8 clip (~10 MB
+per bs=50 batch). Both costs are pure recomputation: with augmentation
+disabled the encoder's (mu, logvar) for a given (video, window-start) never
+change across epochs.
+
+This module precomputes the moments ONCE for every temporal window in the
+dataset and keeps them device-resident (replicated over the mesh; BAIR at
+full size: 43k clips x 14 starts x 2 x 64 fp32 ~= 310 MB). The training step
+then gathers the row's moments by window id and resamples
+``mu + sigma * eps`` with the per-step key — the posterior SAMPLE stays
+stochastic per step, drawn exactly as the uncached encoder draws it
+(models/stage1/resnet3d.py:240-241), so the training objective's
+distribution is unchanged; only the deterministic forward is amortised.
+The per-step input stream drops to one conditioning frame + a (B,) window-id
+vector (~17x less).
+
+Validity: the reference re-augments every epoch (its dataloaders apply
+kornia transforms inside ``__getitem__``, /root/reference/data/
+augmentation.py), so cached moments are valid ONLY when train-time
+augmentation is off (``Data.aug: false``); the trainer refuses the flag
+otherwise. Opt-in, documented protocol deviation — a new TPU-side capability
+with no reference counterpart.
+
+Precompute cost: each clip streams to the device ONCE (full length) and the
+encoder runs once per window at a large fused batch — about 1-2 epochs'
+worth of encoder work + input, amortised against the remaining O(100)
+epochs. Datasets whose ``videos`` list carries oversampling repeats (iPER,
+landscape ``iter_*``) cache duplicate entries per repeat — correct, just
+redundant; the BAIR/DTDB window counts this lever targets are bounded.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_offsets(dataset, seq_length: int) -> np.ndarray:
+    """Per-video window-id offsets: window (video v, start s) has global id
+    ``offsets[v] + s``; ``offsets[-1]`` is the total window count."""
+    counts = np.maximum(0, np.asarray(dataset.num_frames) - seq_length + 1)
+    return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+
+def window_ids(offsets: np.ndarray, dataset, indices, starts) -> np.ndarray:
+    """Map a batch's (dataset index, window start) meta to global window ids
+    (int32 — bounded window counts are a precondition of this lever)."""
+    vids = np.asarray([dataset.video_of(int(i)) for i in np.asarray(indices)])
+    return (offsets[vids] + np.asarray(starts)).astype(np.int32)
+
+
+def make_clip_reader(dataset, framestore=None, workers: int = 8):
+    """Returns ``read(video_positions, n_frames) -> uint8 (V, n, H, W, 3)``
+    reading FULL clips — from the packed framestore when available (the same
+    index mapping ``FrameStore.read_window`` uses), else threaded decode."""
+    if framestore is not None:
+        vmap_ = framestore.index.get("video_map")
+
+        def read(vids, n):
+            fvids = [vmap_[str(v)] for v in vids] if vmap_ else list(vids)
+            return framestore.read_batch(fvids, [0] * len(fvids), n)
+
+        return read
+
+    from ..data.loader import _imread_rgb
+
+    def read(vids, n):
+        def one(v):
+            video = dataset.videos[v]
+            return np.stack(
+                [_imread_rgb(dataset.frame_path(video, f)) for f in range(n)], 0
+            )
+
+        with ThreadPoolExecutor(max(1, workers)) as pool:
+            return np.stack(list(pool.map(one, vids)), 0)
+
+    return read
+
+
+def build_cache(
+    encoder,
+    enc_vars,
+    dataset,
+    seq_length: int,
+    augment,
+    read_clips,
+    *,
+    mp_dt=None,
+    videos_per_dispatch: int = 32,
+) -> jax.Array:
+    """Encode every (video, start) window once; returns the device-resident
+    moment cache, shape ``(n_windows, 2, z)`` fp32, indexed by window id.
+
+    ``augment`` must be the trainer's TRAIN augmentation — with ``Data.aug:
+    false`` it is the deterministic resize+normalize pipeline, applied here to
+    the full clip once; window slices of the augmented clip are bit-identical
+    to augmenting each window separately (per-frame deterministic ops). The
+    encoder runs at ``mp_dt`` exactly like the uncached step's
+    ``_mixed_precision_apply`` path, so cached moments equal in-step ones
+    bit-for-bit (bf16 values round-trip losslessly through the fp32 cache).
+    """
+    from .stage1_step import _mixed_precision_apply
+
+    enc_apply = _mixed_precision_apply(encoder, mp_dt)
+    T = seq_length
+    offsets = window_offsets(dataset, T)
+    n_windows = int(offsets[-1])
+    if n_windows == 0:
+        raise ValueError("posterior cache: dataset has no full-length windows")
+
+    @partial(jax.jit, static_argnames=("n_w",))
+    def encode_group(enc_v, raw_u8, n_w: int):
+        # deterministic aug over the FULL clip, then per-start window slices;
+        # the dummy key is never consumed (train=False pipeline)
+        x = augment(raw_u8, jax.random.PRNGKey(0))
+
+        def body(carry, s):
+            win = jax.lax.dynamic_slice_in_dim(x, s + 1, T - 1, axis=1)
+            # sample discarded (XLA DCEs the normal draw) — only moments kept
+            _, mu, logvar = enc_apply(enc_v, win, jax.random.PRNGKey(0))
+            return carry, jnp.stack([mu, logvar], axis=1)  # (V, 2, z)
+
+        _, mom = jax.lax.scan(body, None, jnp.arange(n_w))
+        return mom  # (n_w, V, 2, z)
+
+    # group videos by clip length so each distinct length compiles once
+    by_len: dict[int, list[int]] = {}
+    for v, n in enumerate(dataset.num_frames):
+        if n >= T:
+            by_len.setdefault(int(n), []).append(v)
+
+    parts, part_ids = [], []
+    for n, vids in sorted(by_len.items()):
+        n_w = n - T + 1
+        V = min(videos_per_dispatch, len(vids))
+        for i in range(0, len(vids), V):
+            chunk = vids[i : i + V]
+            # pad the tail chunk (repeat last video) to keep ONE compile per
+            # clip length; padded rows are sliced off below
+            padded = chunk + [chunk[-1]] * (V - len(chunk))
+            raw = read_clips(padded, n)
+            mom = encode_group(enc_vars, raw, n_w)[:, : len(chunk)]
+            parts.append(jnp.transpose(mom, (1, 0, 2, 3)).reshape(len(chunk) * n_w, 2, -1))
+            part_ids.append(
+                (offsets[chunk][:, None] + np.arange(n_w)[None, :]).reshape(-1)
+            )
+
+    vals = jnp.concatenate(parts, axis=0)
+    ids = np.concatenate(part_ids)
+    # ids is a permutation of arange(n_windows): one gather puts every row at
+    # its window id
+    order = np.argsort(ids)
+    return jax.jit(lambda v, o: jnp.take(v, o, axis=0))(vals, jnp.asarray(order))
+
+
+def resample_posterior(mu, logvar, key, mp_dt=None):
+    """Draw the posterior sample from cached moments exactly as the encoder's
+    reparameterisation does (models/stage1/resnet3d.py:240-241, matching
+    reference resnet3D.py:202-206): eps ~ N(0,1) in fp32 from the SAME key
+    the uncached path hands the encoder, arithmetic at the encoder's compute
+    dtype, result cast back to fp32 (the ``_mixed_precision_apply``
+    contract)."""
+    if mp_dt is not None:
+        mu, logvar = mu.astype(mp_dt), logvar.astype(mp_dt)
+    eps = jax.random.normal(key, logvar.shape).astype(logvar.dtype)
+    return (eps * jnp.exp(0.5 * logvar) + mu).astype(jnp.float32)

@@ -150,8 +150,10 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         framestore=open_or_build(eval_ds, fs_spec, "eval"),
         process_index=proc_i, process_count=proc_n,
     )
-    aug_p, rcrop, _ = augment_params(opt, "train")
-    aug_train = build_augment(opt.Data["img_size"], aug_p, rcrop, True)
+    # Data.aug gates train-time augmentation like the reference
+    # (dataloader_bair.py:24) — hardcoded True until round 4
+    aug_p, rcrop, aug_on = augment_params(opt, "train")
+    aug_train = build_augment(opt.Data["img_size"], aug_p, rcrop, aug_on)
     aug_eval = build_augment(opt.Data["img_size"], aug_p, rcrop, False)
 
     # ---- logging dirs -------------------------------------------------

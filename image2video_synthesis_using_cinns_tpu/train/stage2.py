@@ -120,9 +120,14 @@ def _make_loss_fn(
     enc_apply = _mixed_precision_apply(encoder, mp_dt)
 
     def loss_fn(flow_params, frozen, buffers, enc_v, seq, cond_pos, rng):
-        # frozen dynamics posterior of frames 1:
+        # frozen dynamics posterior of frames 1:. The sample rng is handed to
+        # the encoder POSITIONALLY (Encoder.__call__(x, rng)) rather than via
+        # flax rngs={"sample": ...}: the eps stream is then exactly
+        # jax.random.normal(k_enc, (B, z)) — no module-path folding — which
+        # the cached-posterior step (make_train_step_cached) reproduces from
+        # stored moments bit-for-bit. Same distribution either way.
         k_enc, k_ref = jax.random.split(rng)
-        post, _, _ = enc_apply(enc_v, seq[:, 1:], rngs={"sample": k_enc})
+        post, _, _ = enc_apply(enc_v, seq[:, 1:], k_enc)
         post = jax.lax.stop_gradient(post.reshape(post.shape[0], -1))
         cond = [seq[:, 0]] if not control else [seq[:, 0], cond_pos]
         variables = {
@@ -180,6 +185,107 @@ def make_train_step(network: SupervisedTransformer, encoder: Encoder, enc_vars, 
         )
 
     return step, eval_step
+
+
+def _make_cached_loss_fn(network: SupervisedTransformer, control: bool, mp_dt=None):
+    """Cached-posterior variant of :func:`_make_loss_fn`: the frozen encoder
+    forward is replaced by a gather of the window's precomputed (mu, logvar)
+    from the device-resident cache + the same reparameterised draw the
+    encoder performs (train/posterior_cache.py). ``seq1`` is the augmented
+    1-frame conditioning clip (B, 1, H, W, 3); ``wids`` the window ids."""
+    from .posterior_cache import resample_posterior
+
+    def loss_fn(flow_params, frozen, buffers, moments, wids, seq1, cond_pos, rng):
+        k_enc, k_ref = jax.random.split(rng)
+        mom = jnp.take(moments, wids, axis=0)  # (B, 2, z), cache replicated
+        post = jax.lax.stop_gradient(
+            resample_posterior(mom[:, 0], mom[:, 1], k_enc, mp_dt)
+        )
+        cond = [seq1[:, 0]] if not control else [seq1[:, 0], cond_pos]
+        variables = {
+            "params": {"flow": flow_params, "embedder": frozen},
+            "buffers": buffers,
+        }
+        gauss, logdet = network.apply(variables, post, cond)
+        loss, aux = flow_loss(gauss, logdet, rng=k_ref)
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step_cached(
+    network: SupervisedTransformer, moments, optimizer, control: bool, mp_dt=None
+):
+    """Cached-posterior single step: same Adam update as
+    :func:`make_train_step`, but consuming (window ids, conditioning frame)
+    instead of the full clip. ``moments`` is the replicated cache, threaded
+    as a jit argument (not a jaxpr constant — same rationale as the frozen
+    encoder weights in make_train_step)."""
+    loss_fn = _make_cached_loss_fn(network, control, mp_dt)
+
+    @partial(jax.jit, static_argnums=(9,), donate_argnums=(0, 1))
+    def _step(flow_params, opt_state, frozen, buffers, mom, wids, seq1, cond_pos, rng, true_b):
+        wids, seq1, cond_pos = wids[:true_b], seq1[:true_b], cond_pos[:true_b]
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            flow_params, frozen, buffers, mom, wids, seq1, cond_pos, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, flow_params)
+        flow_params = jax.tree.map(lambda p, u: p + u, flow_params, updates)
+        return flow_params, opt_state, aux
+
+    def step(flow_params, opt_state, frozen, buffers, wids, seq1, cond_pos, rng, true_b=None):
+        return _step(
+            flow_params, opt_state, frozen, buffers, moments, wids, seq1,
+            cond_pos, rng, true_b,
+        )
+
+    return step
+
+
+def make_scan_step_cached(
+    network: SupervisedTransformer,
+    moments,
+    optimizer,
+    control: bool,
+    augment,
+    true_b: int | None = None,
+    mp_dt=None,
+):
+    """Cached-posterior K-step chunk (see :func:`make_scan_step` for the
+    dispatch-fusion rationale). xs per step: 1-frame uint8 conditioning clip
+    (B, 1, H, W, 3), window ids (B,), control conds, per-step key — the full
+    17-frame clip never crosses the host link."""
+    require_partitionable_threefry()
+    loss_fn = _make_cached_loss_fn(network, control, mp_dt)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def _multi(flow_params, opt_state, frozen, buffers, mom, raw1_u8, wids, conds, keys):
+        def body(carry, xs):
+            fp, os_ = carry
+            raw1, wid, cond_pos, key = xs
+            seq1 = augment(raw1, key)  # deterministic (aug off), key unused
+            if true_b is not None and true_b < seq1.shape[0]:
+                seq1, wid, cond_pos = seq1[:true_b], wid[:true_b], cond_pos[:true_b]
+            rng = jax.random.fold_in(key, 2)
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                fp, frozen, buffers, mom, wid, seq1, cond_pos, rng
+            )
+            updates, os_ = optimizer.update(grads, os_, fp)
+            fp = jax.tree.map(lambda p, u: p + u, fp, updates)
+            return (fp, os_), aux
+
+        (flow_params, opt_state), auxs = jax.lax.scan(
+            body, (flow_params, opt_state), (raw1_u8, wids, conds, keys)
+        )
+        return flow_params, opt_state, auxs
+
+    def multi(flow_params, opt_state, frozen, buffers, raw1_u8, wids, conds, keys):
+        return _multi(
+            flow_params, opt_state, frozen, buffers, moments, raw1_u8, wids,
+            conds, keys,
+        )
+
+    return multi
 
 
 def make_scan_step(
@@ -271,6 +377,28 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     # opt-in multi-host: jax.distributed.initialize + per-host input pipeline
     # (parallel/distributed.py); (0, 1) in the default single-process case
     proc_i, proc_n = maybe_initialize(opt.Training.get("distributed"))
+
+    # Opt-in posterior caching (train/posterior_cache.py): precompute the
+    # frozen encoder's (mu, logvar) per (video, window-start) once, resample
+    # in-step. Valid only without train-time augmentation — the reference
+    # re-augments every epoch, so the moments would change per epoch.
+    cache_post = bool(opt.Training.get("cache_posteriors", False))
+    if cache_post:
+        if proc_n > 1:
+            raise NotImplementedError(
+                "Training.cache_posteriors is not supported with "
+                "Training.distributed yet (per-host cache build + global "
+                "window-id assembly unimplemented); drop one of the flags."
+            )
+        if augment_params(opt, "train")[2]:
+            raise ValueError(
+                "Training.cache_posteriors requires Data.aug: false — cached "
+                "(mu, logvar) are only valid when the training frames are "
+                "deterministic across epochs (the reference re-augments every "
+                "epoch; this opt-in lever trades augmentation for an "
+                "encoder-free step, see train/posterior_cache.py)."
+            )
+
     root_key = set_seed(42)
     (config1, generator, gen_vars, encoder, enc_vars, network, net_vars) = build_models(opt)
     control = bool(opt.Training.get("control", False))
@@ -290,11 +418,15 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     # multi-host: indivisible tail batches cannot be padded per-process —
     # the loader drops them (loudly) instead of crashing global assembly
     tail_mult = jax.device_count() if proc_n > 1 else None
+    train_fs = open_or_build(train_ds, fs_spec, "train")
     train_loader = Loader(
         train_ds, opt.Training["bs"], workers=opt.Training["workers"],
         drop_last=False, seed=42,
-        framestore=open_or_build(train_ds, fs_spec, "train"),
+        framestore=train_fs,
         process_index=proc_i, process_count=proc_n, tail_multiple=tail_mult,
+        # cached mode: decode + ship only the conditioning frame; the window
+        # identity rides along as (index, start) meta
+        frames_per_item=1 if cache_post else None, with_meta=cache_post,
     )
     eval_loader = Loader(
         eval_ds, opt.Training["bs_eval"], workers=opt.Training["workers"],
@@ -302,8 +434,12 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         framestore=open_or_build(eval_ds, fs_spec, "eval"),
         process_index=proc_i, process_count=proc_n, tail_multiple=tail_mult,
     )
-    params_aug, random_crop, _ = augment_params(opt, "train")
-    aug_train = build_augment(opt.Data["img_size"], params_aug, random_crop, True)
+    # the third value gates train-time augmentation on Data.aug like the
+    # reference (dataloader_bair.py:24: mode=='train' and opt.Data['aug']);
+    # it was hardcoded True here until round 4 — Data.aug: false silently
+    # augmented anyway
+    params_aug, random_crop, aug_on = augment_params(opt, "train")
+    aug_train = build_augment(opt.Data["img_size"], params_aug, random_crop, aug_on)
     aug_eval = build_augment(opt.Data["img_size"], params_aug, random_crop, False)
 
     # ---- logging ------------------------------------------------------
@@ -364,22 +500,65 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     # bf16 (see _make_loss_fn) — flag-gated, default fp32 like the reference
     compute_dtype = str(opt.Training.get("compute_dtype", "float32"))
     mp_dt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
+
+    # posterior cache: one-time precompute pass over every dataset window,
+    # then the cache rides the mesh replicated (train/posterior_cache.py)
+    moments_r = offsets = None
+    if cache_post:
+        from .posterior_cache import (
+            build_cache,
+            make_clip_reader,
+            window_ids,
+            window_offsets,
+        )
+
+        offsets = window_offsets(train_ds, opt.Data["sequence_length"])
+        t_cache = time.time()
+        moments_r = replicate(
+            mesh,
+            build_cache(
+                encoder, enc_vars, train_ds, opt.Data["sequence_length"],
+                aug_train,
+                make_clip_reader(train_ds, train_fs, opt.Training["workers"]),
+                mp_dt=mp_dt,
+                videos_per_dispatch=int(
+                    opt.Training.get("cache_videos_per_dispatch", 32)
+                ),
+            ),
+        )
+        n_w, _, z_c = moments_r.shape
+        print(
+            f"posterior cache: {n_w} windows x 2 x {z_c} fp32 "
+            f"({n_w * 2 * z_c * 4 / 1e6:.0f} MB device-resident, replicated) "
+            f"built in {time.time() - t_cache:.1f} s"
+        )
+
     step_fn, eval_fn = make_train_step(
         network, encoder, enc_vars_r, optimizer, control, mp_dt=mp_dt
+    )
+    cached_step_fn = (
+        make_train_step_cached(network, moments_r, optimizer, control, mp_dt=mp_dt)
+        if cache_post
+        else None
     )
 
     # K steps per dispatch (lax.scan) — amortises the per-dispatch RPC that
     # dominates this tiny step's wall-clock on the remote chip; 1 = one jitted
     # dispatch per step (the reference's granularity). See make_scan_step.
     spd = int(opt.Training.get("steps_per_dispatch", 1))
-    multi_fn = (
-        make_scan_step(
-            network, encoder, enc_vars_r, optimizer, control, aug_train,
-            true_b=int(opt.Training["bs"]), mp_dt=mp_dt,
+    multi_fn = None
+    if spd > 1:
+        multi_fn = (
+            make_scan_step_cached(
+                network, moments_r, optimizer, control, aug_train,
+                true_b=int(opt.Training["bs"]), mp_dt=mp_dt,
+            )
+            if cache_post
+            else make_scan_step(
+                network, encoder, enc_vars_r, optimizer, control, aug_train,
+                true_b=int(opt.Training["bs"]), mp_dt=mp_dt,
+            )
         )
-        if spd > 1
-        else None
-    )
     stacked_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data")
     )
@@ -483,8 +662,11 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                 # batch mean/std the init bakes into the flow params)
                 seq0 = sharded["seq"]
                 k_enc = jax.random.fold_in(key, 1)
+                # positional sample rng — same eps stream as the loss path
+                # (see _make_loss_fn); always fp32 here like the reference's
+                # lazy first-forward init
                 post, _, _ = jax.jit(
-                    lambda v, s, k: encoder.apply(v, s[:tb, 1:], rngs={"sample": k})
+                    lambda v, s, k: encoder.apply(v, s[:tb, 1:], k)
                 )(enc_vars_r, seq0, k_enc)
                 cond0 = [seq0] + ([sharded["cond"]] if control else [])
                 new_blocks = jax.jit(
@@ -538,14 +720,105 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             global_step += len(chunk)
             fetches.push((auxs, len(chunk)))
 
+        def prep_batch_cached(batch, key):
+            """Cached-mode prep: augment the 1-frame conditioning clip, map
+            the (index, start) meta to window ids (single-process only —
+            guarded above)."""
+            seq1 = aug_train(jnp.asarray(batch["seq_raw"]), key)
+            wids = jnp.asarray(
+                window_ids(offsets, train_ds, batch["index"], batch["start"])
+            )
+            cond_pos = (
+                jnp.asarray(batch["cond"]) if control
+                else jnp.zeros((seq1.shape[0], 3))
+            )
+            return make_global_batch(
+                mesh, {"seq1": seq1, "wids": wids, "cond": cond_pos}
+            )
+
+        def run_single_cached(batch):
+            nonlocal flow_params, opt_state, actnorm_done, global_step
+            fetches.drain(all_pending=True)
+            key = jax.random.fold_in(root_key, global_step)
+            sharded, tb = prep_batch_cached(batch, key)
+
+            if not actnorm_done:
+                from .posterior_cache import resample_posterior
+
+                seq0, wids0 = sharded["seq1"], sharded["wids"]
+                k_enc = jax.random.fold_in(key, 1)
+                # gather + fp32 resample stands in for the fp32 encoder pass
+                # of the uncached init (bit-identical in fp32 runs; under
+                # bf16 the cached moments went through the bf16 forward,
+                # the uncached init's through fp32 — a documented deviation
+                # of this opt-in mode)
+                post = jax.jit(
+                    lambda m, w, k: resample_posterior(
+                        jnp.take(m, w[:tb], 0)[:, 0],
+                        jnp.take(m, w[:tb], 0)[:, 1], k,
+                    )
+                )(moments_r, wids0, k_enc)
+                cond0 = [seq0] + ([sharded["cond"]] if control else [])
+                new_blocks = jax.jit(
+                    lambda fp, fr, bu, p, c: network.apply(
+                        {"params": {"flow": fp, "embedder": fr}, "buffers": bu},
+                        p.reshape(p.shape[0], -1),
+                        [c[0][:tb, 0]] + ([c[1][:tb]] if control else []),
+                        method="init_actnorm",
+                    )
+                )(flow_params, frozen, buffers, post, cond0)
+                flow_params = dict(flow_params)
+                flow_params["blocks"] = new_blocks
+                opt_state = optimizer.init(flow_params)
+                opt_state = replicate(mesh, opt_state)
+                set_lr(opt_state, lr_ctrl.lr)
+                actnorm_done = True
+
+            flow_params, opt_state, aux = cached_step_fn(
+                flow_params, opt_state, frozen, buffers,
+                sharded["wids"], sharded["seq1"], sharded["cond"],
+                jax.random.fold_in(key, 2), true_b=tb,
+            )
+            log_aux({k: float(v) for k, v in aux.items()})
+            global_step += 1
+
+        def run_chunk_cached(chunk):
+            nonlocal flow_params, opt_state, global_step
+            raws = stack_staged(chunk)  # (K, B, 1, H, W, 3) uint8 on device
+            wids = pad_chunk_axis(
+                np.stack([
+                    window_ids(offsets, train_ds, b["index"], b["start"])
+                    for b in chunk
+                ]),
+                n_dev // proc_n,
+            )
+            conds = pad_chunk_axis(
+                np.stack([
+                    np.asarray(b["cond"], np.float32)
+                    if control
+                    else np.zeros((b["seq_raw"].shape[0], 3), np.float32)
+                    for b in chunk
+                ]),
+                n_dev // proc_n,
+            )
+            keys = chunk_keys(root_key, global_step, len(chunk))
+            flow_params, opt_state, auxs = multi_fn(
+                flow_params, opt_state, frozen, buffers, raws,
+                put_global(stacked_sharding, wids, batch_axis=1),
+                put_global(stacked_sharding, conds, batch_axis=1),
+                keys,
+            )
+            global_step += len(chunk)
+            fetches.push((auxs, len(chunk)))
+
         drive_epoch(
             train_loader.epoch_iter(epoch),
             # the loader yields this host's rows (bs/proc_n in multi-host)
             full_bs=opt.Training["bs"] // proc_n,
             spd=spd,
             chunk_ready=lambda: multi_fn is not None and actnorm_done,
-            run_single=run_single,
-            run_chunk=run_chunk,
+            run_single=run_single_cached if cache_post else run_single,
+            run_chunk=run_chunk_cached if cache_post else run_chunk,
             steps_done=lambda: global_step,
             max_steps=max_steps,
             interrupted=lambda: guard.should_stop,

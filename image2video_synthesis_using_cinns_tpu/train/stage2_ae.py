@@ -344,8 +344,10 @@ def _main(opt, max_steps: int | None = None):
         # drop them (loudly) instead of crashing global assembly
         tail_multiple=jax.device_count() if proc_n > 1 else None,
     )
-    aug_p, rcrop, _ = augment_params(opt, "train")
-    aug_train = build_augment(img_size, aug_p, rcrop, True)
+    # Data.aug gates train-time augmentation like the reference
+    # (dataloader_bair.py:24) — hardcoded True until round 4
+    aug_p, rcrop, aug_on = augment_params(opt, "train")
+    aug_train = build_augment(img_size, aug_p, rcrop, aug_on)
     aug_eval = build_augment(img_size, aug_p, rcrop, False)
 
     # ---- logging -------------------------------------------------------
