@@ -20,7 +20,8 @@ decoder FLOPs; GSPMD re-shards at the first divisible stage.
 
 Numerics: halo-exchange convolution is exact (same partial sums); only the
 norm-stat reductions reassociate, so outputs match single-device to ~1e-5 in
-fp32 (pinned by ``tests/test_parallel.py::test_spatial_sharded_decoder``).
+fp32 (pinned by ``tests/test_parallel.py::
+test_spatial_sharded_decoder_matches_single_device``).
 
 Go/no-go analysis for real multi-chip latency scaling lives in BASELINE.md
 ("Decoder spatial sharding"); measured collective traffic comes from
