@@ -29,9 +29,12 @@ with no reference counterpart.
 Precompute cost: each clip streams to the device ONCE (full length) and the
 encoder runs once per window at a large fused batch — about 1-2 epochs'
 worth of encoder work + input, amortised against the remaining O(100)
-epochs. Datasets whose ``videos`` list carries oversampling repeats (iPER,
-landscape ``iter_*``) cache duplicate entries per repeat — correct, just
-redundant; the BAIR/DTDB window counts this lever targets are bounded.
+epochs. Datasets whose ``videos`` list carries oversampling repeats (iPER
+``iter_mode x int(vid[-1])``, landscape/DTDB ``iter_*`` — reference
+dataloader_iPER.py:29-32) are DEDUPLICATED: :class:`WindowIndex` keys unique
+videos exactly like the framestore's ``video_map`` (data/framestore.py) and
+maps every repeated entry onto the same cache rows, so cache size and build
+time are invariant to the oversampling factor.
 """
 
 from __future__ import annotations
@@ -44,18 +47,55 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def window_offsets(dataset, seq_length: int) -> np.ndarray:
-    """Per-video window-id offsets: window (video v, start s) has global id
-    ``offsets[v] + s``; ``offsets[-1]`` is the total window count."""
-    counts = np.maximum(0, np.asarray(dataset.num_frames) - seq_length + 1)
-    return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+class WindowIndex:
+    """Window-id table over the UNIQUE videos of a dataset.
 
+    Window (unique video u, start s) has global id ``offsets[u] + s``;
+    ``n_windows == offsets[-1]`` is the total unique window count. Repeated
+    entries in ``dataset.videos`` (oversampling) share one unique video, so
+    their windows share cache rows."""
 
-def window_ids(offsets: np.ndarray, dataset, indices, starts) -> np.ndarray:
-    """Map a batch's (dataset index, window start) meta to global window ids
-    (int32 — bounded window counts are a precondition of this lever)."""
-    vids = np.asarray([dataset.video_of(int(i)) for i in np.asarray(indices)])
-    return (offsets[vids] + np.asarray(starts)).astype(np.int32)
+    def __init__(self, dataset, seq_length: int):
+        uniq: dict[str, int] = {}
+        reps: list[int] = []  # representative entry index per unique video
+        entry_to_uniq = np.empty(len(dataset.videos), np.int64)
+        for v, vid in enumerate(dataset.videos):
+            key = str(vid)
+            if key not in uniq:
+                uniq[key] = len(reps)
+                reps.append(v)
+            entry_to_uniq[v] = uniq[key]
+        self.seq_length = seq_length
+        self.rep_entries = np.asarray(reps, np.int64)
+        self.entry_to_uniq = entry_to_uniq
+        counts = np.maximum(
+            0,
+            np.asarray([dataset.num_frames[e] for e in reps]) - seq_length + 1,
+        )
+        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.n_windows = int(self.offsets[-1])
+        self.duplication = len(dataset.videos) / max(1, len(reps))
+
+    def ids(self, dataset, indices, starts) -> np.ndarray:
+        """Map a batch's (dataset index, window start) meta to global window
+        ids (int32 — bounded window counts are a precondition of this lever).
+
+        Bounds-checked host-side: the in-step ``jnp.take`` uses JAX's default
+        out-of-bounds CLAMPING, so a bad (offsets, video_of) mapping for a
+        future dataset would otherwise silently train on a wrong-but-valid
+        posterior row instead of failing."""
+        entries = np.asarray(
+            [dataset.video_of(int(i)) for i in np.asarray(indices)]
+        )
+        wids = self.offsets[self.entry_to_uniq[entries]] + np.asarray(starts)
+        if wids.size and (wids.min() < 0 or wids.max() >= self.n_windows):
+            bad = wids[(wids < 0) | (wids >= self.n_windows)]
+            raise IndexError(
+                f"posterior cache: window ids {bad[:8].tolist()} out of range "
+                f"[0, {self.n_windows}) — offsets/video_of mapping is "
+                "inconsistent with the cache build (train/posterior_cache.py)"
+            )
+        return wids.astype(np.int32)
 
 
 def make_clip_reader(dataset, framestore=None, workers: int = 8):
@@ -112,9 +152,8 @@ def build_cache(
 
     enc_apply = _mixed_precision_apply(encoder, mp_dt)
     T = seq_length
-    offsets = window_offsets(dataset, T)
-    n_windows = int(offsets[-1])
-    if n_windows == 0:
+    windex = WindowIndex(dataset, T)
+    if windex.n_windows == 0:
         raise ValueError("posterior cache: dataset has no full-length windows")
 
     @partial(jax.jit, static_argnames=("n_w",))
@@ -132,26 +171,28 @@ def build_cache(
         _, mom = jax.lax.scan(body, None, jnp.arange(n_w))
         return mom  # (n_w, V, 2, z)
 
-    # group videos by clip length so each distinct length compiles once
+    # group UNIQUE videos by clip length so each distinct length compiles
+    # once; repeated entries never reach the encoder (WindowIndex dedup)
     by_len: dict[int, list[int]] = {}
-    for v, n in enumerate(dataset.num_frames):
+    for u, rep in enumerate(windex.rep_entries):
+        n = dataset.num_frames[rep]
         if n >= T:
-            by_len.setdefault(int(n), []).append(v)
+            by_len.setdefault(int(n), []).append(u)
 
     parts, part_ids = [], []
-    for n, vids in sorted(by_len.items()):
+    for n, uniqs in sorted(by_len.items()):
         n_w = n - T + 1
-        V = min(videos_per_dispatch, len(vids))
-        for i in range(0, len(vids), V):
-            chunk = vids[i : i + V]
+        V = min(videos_per_dispatch, len(uniqs))
+        for i in range(0, len(uniqs), V):
+            chunk = uniqs[i : i + V]
             # pad the tail chunk (repeat last video) to keep ONE compile per
             # clip length; padded rows are sliced off below
             padded = chunk + [chunk[-1]] * (V - len(chunk))
-            raw = read_clips(padded, n)
+            raw = read_clips([int(windex.rep_entries[u]) for u in padded], n)
             mom = encode_group(enc_vars, raw, n_w)[:, : len(chunk)]
             parts.append(jnp.transpose(mom, (1, 0, 2, 3)).reshape(len(chunk) * n_w, 2, -1))
             part_ids.append(
-                (offsets[chunk][:, None] + np.arange(n_w)[None, :]).reshape(-1)
+                (windex.offsets[chunk][:, None] + np.arange(n_w)[None, :]).reshape(-1)
             )
 
     vals = jnp.concatenate(parts, axis=0)

@@ -501,18 +501,14 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     compute_dtype = str(opt.Training.get("compute_dtype", "float32"))
     mp_dt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16") else None
 
-    # posterior cache: one-time precompute pass over every dataset window,
-    # then the cache rides the mesh replicated (train/posterior_cache.py)
-    moments_r = offsets = None
+    # posterior cache: one-time precompute pass over every UNIQUE dataset
+    # window (oversampling repeats share rows — WindowIndex), then the cache
+    # rides the mesh replicated (train/posterior_cache.py)
+    moments_r = windex = None
     if cache_post:
-        from .posterior_cache import (
-            build_cache,
-            make_clip_reader,
-            window_ids,
-            window_offsets,
-        )
+        from .posterior_cache import WindowIndex, build_cache, make_clip_reader
 
-        offsets = window_offsets(train_ds, opt.Data["sequence_length"])
+        windex = WindowIndex(train_ds, opt.Data["sequence_length"])
         t_cache = time.time()
         moments_r = replicate(
             mesh,
@@ -529,7 +525,8 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
         n_w, _, z_c = moments_r.shape
         print(
             f"posterior cache: {n_w} windows x 2 x {z_c} fp32 "
-            f"({n_w * 2 * z_c * 4 / 1e6:.0f} MB device-resident, replicated) "
+            f"({n_w * 2 * z_c * 4 / 1e6:.0f} MB device-resident, replicated; "
+            f"oversampling dedup {windex.duplication:.1f}x) "
             f"built in {time.time() - t_cache:.1f} s"
         )
 
@@ -725,9 +722,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             the (index, start) meta to window ids (single-process only —
             guarded above)."""
             seq1 = aug_train(jnp.asarray(batch["seq_raw"]), key)
-            wids = jnp.asarray(
-                window_ids(offsets, train_ds, batch["index"], batch["start"])
-            )
+            wids = jnp.asarray(windex.ids(train_ds, batch["index"], batch["start"]))
             cond_pos = (
                 jnp.asarray(batch["cond"]) if control
                 else jnp.zeros((seq1.shape[0], 3))
@@ -787,8 +782,7 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             raws = stack_staged(chunk)  # (K, B, 1, H, W, 3) uint8 on device
             wids = pad_chunk_axis(
                 np.stack([
-                    window_ids(offsets, train_ds, b["index"], b["start"])
-                    for b in chunk
+                    windex.ids(train_ds, b["index"], b["start"]) for b in chunk
                 ]),
                 n_dev // proc_n,
             )

@@ -129,9 +129,9 @@ def test_build_cache_moments_match_direct_encoder(data_dir):
     from image2video_synthesis_using_cinns_tpu.models.stage1.resnet3d import Encoder
     from image2video_synthesis_using_cinns_tpu.testing import stage1_config
     from image2video_synthesis_using_cinns_tpu.train.posterior_cache import (
+        WindowIndex,
         build_cache,
         make_clip_reader,
-        window_offsets,
     )
 
     T = 9
@@ -152,7 +152,7 @@ def test_build_cache_moments_match_direct_encoder(data_dir):
         build_cache(enc, enc_vars, ds, T, aug, make_clip_reader(ds),
                     videos_per_dispatch=3)
     )
-    offsets = window_offsets(ds, T)
+    offsets = WindowIndex(ds, T).offsets
     n_w = 30 - T + 1
     assert cache.shape == (len(ds.videos) * n_w, 2, P["z_dim"])
 
@@ -173,6 +173,99 @@ def test_build_cache_moments_match_direct_encoder(data_dir):
             cache[offsets[v] : offsets[v] + n_w, 1], np.asarray(logvar),
             rtol=1e-4, atol=2e-5,
         )
+
+
+def test_cache_dedups_oversampled_videos(data_dir):
+    """Oversampled datasets repeat entries in ``dataset.videos`` (reference
+    dataloader_iPER.py:29-32 repeats each video iter_mode x int(vid[-1])
+    times). The cache must be invariant to the repeats: same unique window
+    count, each unique video encoded ONCE, repeated entries' ids landing on
+    the shared rows, and identical cache contents."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from image2video_synthesis_using_cinns_tpu.data.augment import build_augment
+    from image2video_synthesis_using_cinns_tpu.data.datasets import BairDataset
+    from image2video_synthesis_using_cinns_tpu.models.stage1.resnet3d import Encoder
+    from image2video_synthesis_using_cinns_tpu.testing import stage1_config
+    from image2video_synthesis_using_cinns_tpu.train.posterior_cache import (
+        WindowIndex,
+        build_cache,
+        make_clip_reader,
+    )
+
+    T = 9
+    opt = cfg.Config(
+        {"Data": {"data_path": data_dir, "sequence_length": T, "dataset": "BAIR"}}
+    )
+    ds = BairDataset(opt, mode="train")
+    ds_rep = copy.copy(ds)
+    ds_rep.videos = list(ds.videos) * 3  # iter_mode-style repeat blocks
+    ds_rep.num_frames = list(ds.num_frames) * 3
+
+    wi = WindowIndex(ds, T)
+    wr = WindowIndex(ds_rep, T)
+    assert wr.n_windows == wi.n_windows
+    assert wr.duplication == 3.0
+    # a repeat-block entry maps onto the base entry's rows
+    base = wi.ids(ds, [2, 5], [0, 4])
+    for block in range(3):
+        off = block * len(ds.videos)
+        np.testing.assert_array_equal(
+            wr.ids(ds_rep, [2 + off, 5 + off], [0, 4]), base
+        )
+
+    enc = Encoder.from_config(stage1_config(P).Encoder)
+    img = P["img_size"]
+    enc_vars = jax.jit(enc.init)(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, T - 1, img, img, 3)),
+    )
+    aug = build_augment(img, {}, False, False)
+
+    reads: list[int] = []
+    base_reader = make_clip_reader(ds_rep)
+
+    def counting_reader(vids, n):
+        reads.extend(int(v) for v in vids)
+        return base_reader(vids, n)
+
+    cache_rep = np.asarray(
+        build_cache(enc, enc_vars, ds_rep, T, aug, counting_reader,
+                    videos_per_dispatch=4)
+    )
+    cache_base = np.asarray(
+        build_cache(enc, enc_vars, ds, T, aug, make_clip_reader(ds),
+                    videos_per_dispatch=4)
+    )
+    assert cache_rep.shape == cache_base.shape == (wi.n_windows, 2, P["z_dim"])
+    np.testing.assert_array_equal(cache_rep, cache_base)
+    # every read was a base-block (unique) entry; tail padding may repeat the
+    # last unique video, but no repeat-block entry is ever decoded
+    assert max(reads) < len(ds.videos)
+    assert set(reads) == set(range(len(ds.videos)))
+
+
+def test_window_ids_out_of_range_fails_loudly(data_dir):
+    """The in-step gather clamps out-of-bounds ids (JAX default), so a bad
+    (offsets, video_of) mapping must be caught host-side in WindowIndex.ids
+    rather than silently training on a wrong-but-valid posterior row."""
+    from image2video_synthesis_using_cinns_tpu.data.datasets import BairDataset
+    from image2video_synthesis_using_cinns_tpu.train.posterior_cache import (
+        WindowIndex,
+    )
+
+    T = 9
+    opt = cfg.Config(
+        {"Data": {"data_path": data_dir, "sequence_length": T, "dataset": "BAIR"}}
+    )
+    ds = BairDataset(opt, mode="train")
+    wi = WindowIndex(ds, T)
+    # a start beyond the last full window of the final video overflows the table
+    with pytest.raises(IndexError, match="out of range"):
+        wi.ids(ds, [len(ds.videos) - 1], [30 - T + 1])
 
 
 def test_loader_first_frame_meta_consistent(data_dir):
