@@ -267,7 +267,12 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
             s.load_state_dict(jax.tree.map(float, sched_state))
 
     actnorm_done = start_epoch > 0
-    best_PFVD = 999.0
+    # 999 is the reference's FVD-scale best gate (stage1_VAE/main.py:61); our
+    # eval-LOSS fallback (no I3D weights / eval_fvd=False) is not FVD-scaled,
+    # so it compares against inf — otherwise a run whose first eval loss
+    # exceeds 999 would never write best_PFVD_{GEN,ENC} at all (caught by
+    # scripts/pipeline_drive.py on the cINN's NLL-scale analogue).
+    best_PFVD = 999.0 if eval_fvd else float("inf")
     global_step = 0
     sequences = None
 
@@ -443,6 +448,10 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                     "column stays NaN."
                 )
                 eval_fvd = False
+                if best_PFVD == 999.0:
+                    # no FVD was ever computed: re-anchor the best gate to the
+                    # loss scale (see best_PFVD's init comment)
+                    best_PFVD = float("inf")
 
         # ---------------- checkpoints ----------------
         # multi-host: secondaries skip the host fetch + writes — state is

@@ -384,12 +384,6 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     # re-augments every epoch, so the moments would change per epoch.
     cache_post = bool(opt.Training.get("cache_posteriors", False))
     if cache_post:
-        if proc_n > 1:
-            raise NotImplementedError(
-                "Training.cache_posteriors is not supported with "
-                "Training.distributed yet (per-host cache build + global "
-                "window-id assembly unimplemented); drop one of the flags."
-            )
         if augment_params(opt, "train")[2]:
             raise ValueError(
                 "Training.cache_posteriors requires Data.aug: false — cached "
@@ -503,30 +497,51 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
 
     # posterior cache: one-time precompute pass over every UNIQUE dataset
     # window (oversampling repeats share rows — WindowIndex), then the cache
-    # rides the mesh replicated (train/posterior_cache.py)
+    # rides the mesh replicated (train/posterior_cache.py). Multi-process:
+    # the build is round-robin sharded over hosts (each host streams only its
+    # unique videos and encodes only their windows), then the partial caches
+    # — zeros off-shard — are summed exactly across hosts, so build time AND
+    # the one-time clip input stream scale 1/P. Every host gathers the SAME
+    # cache (the sum is deterministic), so the replicated-state invariant
+    # holds; vs a single-host build the rows differ only by encoder-batch
+    # reassociation from the different dispatch groupings (~4e-6 abs —
+    # tests/test_cache_posteriors.py::test_sharded_builds_sum_to_full_cache).
     moments_r = windex = None
     if cache_post:
-        from .posterior_cache import WindowIndex, build_cache, make_clip_reader
+        from .posterior_cache import (
+            WindowIndex,
+            assemble_cache_multiprocess,
+            build_cache,
+            make_clip_reader,
+        )
 
         windex = WindowIndex(train_ds, opt.Data["sequence_length"])
+        n_uniq = len(windex.rep_entries)
+        # every host takes the same branch: n_uniq/proc_n are shared values
+        shard = (proc_i, proc_n) if proc_n <= n_uniq else (0, 1)
         t_cache = time.time()
-        moments_r = replicate(
-            mesh,
-            build_cache(
-                encoder, enc_vars, train_ds, opt.Data["sequence_length"],
-                aug_train,
-                make_clip_reader(train_ds, train_fs, opt.Training["workers"]),
-                mp_dt=mp_dt,
-                videos_per_dispatch=int(
-                    opt.Training.get("cache_videos_per_dispatch", 32)
-                ),
+        cache = build_cache(
+            encoder, enc_vars, train_ds, opt.Data["sequence_length"],
+            aug_train,
+            make_clip_reader(train_ds, train_fs, opt.Training["workers"]),
+            mp_dt=mp_dt,
+            videos_per_dispatch=int(
+                opt.Training.get("cache_videos_per_dispatch", 32)
             ),
+            shard=shard,
         )
+        if shard[1] > 1:
+            # re-sync before the gather: the sharded builds are long and
+            # communication-free (Gloo rendezvous times out at ~30 s)
+            barrier("stage2-cache-build")
+            cache = assemble_cache_multiprocess(cache)
+        moments_r = replicate(mesh, cache)
         n_w, _, z_c = moments_r.shape
         print(
             f"posterior cache: {n_w} windows x 2 x {z_c} fp32 "
             f"({n_w * 2 * z_c * 4 / 1e6:.0f} MB device-resident, replicated; "
-            f"oversampling dedup {windex.duplication:.1f}x) "
+            f"oversampling dedup {windex.duplication:.1f}x; "
+            f"build shard {shard[0]}/{shard[1]}) "
             f"built in {time.time() - t_cache:.1f} s"
         )
 
@@ -574,7 +589,13 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
     )
 
     actnorm_done = False
-    best_PFVD = 999.0
+    # 999 is the reference's FVD-scale best gate (stage2_cINN/main.py:161);
+    # our eval-NLL fallback (no I3D weights / eval_fvd=False) is not
+    # FVD-scaled — an untrained flow's NLL easily exceeds 999, which would
+    # leave the run with no cINN.msgpack ever written and break the
+    # get_model.Model contract (caught by scripts/pipeline_drive.py) — so the
+    # fallback compares against inf.
+    best_PFVD = 999.0 if eval_fvd else float("inf")
     global_step = 0
     start_epoch = 0
     frozen_host = buffers_host = None  # cached per-run (frozen nets)
@@ -719,8 +740,15 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
 
         def prep_batch_cached(batch, key):
             """Cached-mode prep: augment the 1-frame conditioning clip, map
-            the (index, start) meta to window ids (single-process only —
-            guarded above)."""
+            the (index, start) meta to window ids.
+
+            Multi-host: the loader yields this host's rows; window ids are
+            mapped host-side per row and ``make_global_batch`` assembles the
+            global arrays. Unlike the uncached path there is no
+            augment-before-assemble ordering concern — cache mode requires
+            ``Data.aug: false``, so the pipeline is per-frame deterministic
+            (row-index-independent) and augmenting locally is bit-identical
+            to augmenting the assembled global batch."""
             seq1 = aug_train(jnp.asarray(batch["seq_raw"]), key)
             wids = jnp.asarray(windex.ids(train_ds, batch["index"], batch["start"]))
             cond_pos = (
@@ -865,6 +893,10 @@ def _main(opt, guard, max_steps: int | None = None, eval_fvd: bool = True):
                     "falls back to eval loss and the PFVD CSV column stays NaN."
                 )
                 eval_fvd = False
+                if best_PFVD == 999.0:
+                    # no FVD was ever computed: re-anchor the best gate to the
+                    # loss scale (see best_PFVD's init comment)
+                    best_PFVD = float("inf")
 
         # One host fetch per epoch for the state both checkpoints share: the
         # frozen embedder (~100MB, never changes) and shuffle buffers are
