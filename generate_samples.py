@@ -53,6 +53,10 @@ def main():
     parser.add_argument("-compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="decoder serving dtype (flow stays fp32)")
+    parser.add_argument("-spatial_shard", type=int, default=0,
+                        help="width-shard the decoder over N devices for "
+                        "single-video latency (composes with -data_parallel "
+                        "via a 2-D (data, model) mesh; 0 = off)")
     args = parser.parse_args()
 
     from image2video_synthesis_using_cinns_tpu.models.facade import Model

@@ -49,6 +49,7 @@ class Model:
         allow_random_init: bool = False,
         compute_dtype: str = "float32",
         data_parallel: bool = False,
+        spatial_shard: bool | int = False,
     ):
         """``compute_dtype='bfloat16'`` runs the decoder in bf16 (the
         TPU-native serving dtype, ~3-4x faster); the flow inverse stays fp32
@@ -60,7 +61,18 @@ class Model:
         parallel path, so scaling is linear in chips). Batches are padded to
         a device multiple and unpadded on return; single-device behaviour is
         unchanged. DP-vs-single-device numeric parity is tested on the
-        8-device CPU mesh (tests/test_parallel.py)."""
+        8-device CPU mesh (tests/test_parallel.py).
+
+        ``spatial_shard`` width-shards the SPADE decoder's activations over a
+        ``model`` mesh axis (``parallel/spatial.py``): DP scales throughput
+        with batch, this scales the latency of a SINGLE video — GSPMD inserts
+        the conv halo exchanges and norm-stat all-reduces. ``True`` uses all
+        visible devices; an int uses that many. Composes with
+        ``data_parallel`` via a 2-D (data, model) mesh — then an explicit int
+        is required (``spatial_shard=2`` with 8 devices → 4-way DP x 2-way
+        spatial). Numerics match single-device to reassociation noise
+        (tests/test_parallel.py); multi-chip latency scaling is a conditional
+        GO pending real multi-chip measurement (BASELINE.md)."""
         compile_cache.enable_persistent_cache()  # no-op if already configured
         self.config = cfg.load(_join(model_path, "config_stage2.yaml"))
         opt = self.config
@@ -135,26 +147,54 @@ class Model:
 
         self._fn_cache: dict = {}
 
-        # ---- optional data-parallel serving mesh --------------------------
+        # ---- optional data-parallel / spatial serving mesh -----------------
         self.mesh = None
+        self._spatial = bool(spatial_shard)
         self._fold_div = 1  # conv3d fold gate: per-DEVICE batch under DP
-        if data_parallel:
+        if data_parallel or spatial_shard:
+            import numpy as _np
+
+            from jax.sharding import Mesh
             from ..parallel.mesh import make_mesh, replicate
 
-            self.mesh = make_mesh()
-            self._fold_div = self.mesh.devices.size
+            if spatial_shard:
+                devs = jax.devices()
+                if spatial_shard is True:
+                    if data_parallel:
+                        raise ValueError(
+                            "composing data_parallel with spatial_shard needs "
+                            "an explicit spatial axis size: pass "
+                            "spatial_shard=<int> (devices are split into a "
+                            "2-D (data, model) mesh)"
+                        )
+                    n_sp = len(devs)
+                else:
+                    n_sp = int(spatial_shard)
+                if n_sp < 2 or len(devs) % n_sp:
+                    raise ValueError(
+                        f"spatial_shard={n_sp} must be >=2 and divide the "
+                        f"device count ({len(devs)})"
+                    )
+                n_dp = len(devs) // n_sp if data_parallel else 1
+                self.mesh = Mesh(
+                    _np.asarray(devs[: n_dp * n_sp]).reshape(n_dp, n_sp),
+                    ("data", "model"),
+                )
+            else:
+                self.mesh = make_mesh()
+            self._fold_div = self.mesh.shape["data"]
             self.decoder_vars = replicate(self.mesh, self.decoder_vars)
             self.flow_vars = replicate(self.mesh, self.flow_vars)
             if self.encoder is not None:
                 self.encoder_vars = replicate(self.mesh, self.encoder_vars)
 
     def _shard_rows(self, *arrays):
-        """Pad each array's leading (batch) axis to a device multiple and
-        shard it over the ``data`` mesh axis. Returns (padded arrays, true
-        batch)."""
+        """Pad each array's leading (batch) axis to a multiple of the mesh's
+        ``data`` axis and shard it over it (replication over a ``model`` axis
+        when spatial sharding is on). Returns (padded arrays, true batch)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dev = self.mesh.devices.size
+        n_dev = self.mesh.shape["data"]
         b = arrays[0].shape[0]
         rem = (-b) % n_dev
         out = []
@@ -195,6 +235,17 @@ class Model:
     def _next_key(self):
         self._rng, key = jax.random.split(self._rng)
         return key
+
+    def _spatial_scope(self):
+        """Trace-time width-sharding scope for the decoder (identity context
+        when ``spatial_shard`` is off — see parallel/spatial.py)."""
+        import contextlib
+
+        if not self._spatial:
+            return contextlib.nullcontext()
+        from ..parallel.spatial import spatial_sharding
+
+        return spatial_sharding(self.mesh, "model")
 
     # ------------------------------------------------------------------
     # compiled kernels (cached per input signature)
@@ -252,7 +303,7 @@ class Model:
             @jax.jit
             def sample(flow_vars, dec_vars, x0_cl, cond_extra, residual):
                 # fold gate sees per-DEVICE batch under DP (global shape / mesh)
-                with conv3d_fold_divisor(self._fold_div):
+                with conv3d_fold_divisor(self._fold_div), self._spatial_scope():
                     cond = [x0_cl] if cond_extra is None else [x0_cl, cond_extra]
                     z = self.flow.apply(flow_vars, residual, cond, reverse=True)
                     z = z.reshape(x0_cl.shape[0], -1)
@@ -267,7 +318,7 @@ class Model:
             from .layers import conv3d_fold_divisor
 
             def decode(dec_vars, img, z):
-                with conv3d_fold_divisor(self._fold_div):
+                with conv3d_fold_divisor(self._fold_div), self._spatial_scope():
                     return self._decode(dec_vars, img, z)
 
             self._fn_cache["decode"] = jax.jit(decode)
@@ -338,7 +389,7 @@ class Model:
 
             @jax.jit
             def run(enc_vars, flow_vars, dec_vars, q_cl, x0_cl, key):
-                with conv3d_fold_divisor(self._fold_div):
+                with conv3d_fold_divisor(self._fold_div), self._spatial_scope():
                     # dynamics of the query video (frames after the first)
                     _, z, _ = self.encoder.apply(
                         enc_vars, q_cl[:, 1:], rngs={"sample": key}

@@ -297,6 +297,64 @@ def test_facade_transfer_data_parallel_matches_single(tmp_path):
     np.testing.assert_allclose(v_dp, v_single, rtol=1e-3, atol=1e-4)
 
 
+def test_facade_spatial_shard_matches_single(tmp_path):
+    """Model(spatial_shard=True): the decoder's activations are width-sharded
+    over all 8 devices (the single-video latency axis — parallel/spatial.py);
+    at identical injected ν the videos must match the single-device facade to
+    norm-stat reassociation noise."""
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.testing import make_model_dir
+
+    d = make_model_dir(str(tmp_path), preset="tiny") + "/"
+    m_single = Model(d, vid_length=8, seed=3)
+    m_sp = Model(d, vid_length=8, seed=3, spatial_shard=True)
+    assert dict(m_sp.mesh.shape) == {"data": 1, "model": 8}
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    nu = rng.standard_normal((2, m_single.z_dim)).astype(np.float32)
+
+    v_single = np.asarray(m_single.forward(x0, residual=nu))
+    v_sp = np.asarray(m_sp.forward(x0, residual=nu))
+    assert v_sp.shape == v_single.shape == (2, 8, 3, 32, 32)
+    np.testing.assert_allclose(v_sp, v_single, rtol=1e-3, atol=1e-4)
+
+
+def test_facade_spatial_shard_composes_with_dp(tmp_path):
+    """Model(data_parallel=True, spatial_shard=2): 2-D (data=4, model=2) mesh
+    — rows sharded over 'data', decoder width over 'model' — matching the
+    single-device facade at a batch (3) that does not divide the data axis."""
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.testing import make_model_dir
+
+    d = make_model_dir(str(tmp_path), preset="tiny") + "/"
+    m_single = Model(d, vid_length=8, seed=3)
+    m_2d = Model(d, vid_length=8, seed=3, data_parallel=True, spatial_shard=2)
+    assert dict(m_2d.mesh.shape) == {"data": 4, "model": 2}
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, (3, 3, 32, 32)).astype(np.float32)
+    nu = rng.standard_normal((3, m_single.z_dim)).astype(np.float32)
+
+    v_single = np.asarray(m_single.forward(x0, residual=nu))
+    v_2d = np.asarray(m_2d.forward(x0, residual=nu))
+    assert v_2d.shape == v_single.shape == (3, 8, 3, 32, 32)
+    np.testing.assert_allclose(v_2d, v_single, rtol=1e-3, atol=1e-4)
+
+
+def test_facade_spatial_shard_flag_validation(tmp_path):
+    """spatial_shard=True with data_parallel is ambiguous (how to split the
+    devices) — must raise and name the fix; non-dividing int must raise."""
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.testing import make_model_dir
+
+    d = make_model_dir(str(tmp_path), preset="tiny") + "/"
+    with pytest.raises(ValueError, match="spatial_shard=<int>"):
+        Model(d, vid_length=8, data_parallel=True, spatial_shard=True)
+    with pytest.raises(ValueError, match="divide"):
+        Model(d, vid_length=8, spatial_shard=3)
+
+
 def test_pad_to_multiple():
     batch = {"x": jnp.ones((5, 3))}
     padded, true_b = pad_to_multiple(batch, 4)
