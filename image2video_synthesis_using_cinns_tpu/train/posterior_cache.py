@@ -136,6 +136,7 @@ def build_cache(
     *,
     mp_dt=None,
     videos_per_dispatch: int = 32,
+    shard: tuple[int, int] = (0, 1),
 ) -> jax.Array:
     """Encode every (video, start) window once; returns the device-resident
     moment cache, shape ``(n_windows, 2, z)`` fp32, indexed by window id.
@@ -147,6 +148,12 @@ def build_cache(
     encoder runs at ``mp_dt`` exactly like the uncached step's
     ``_mixed_precision_apply`` path, so cached moments equal in-step ones
     bit-for-bit (bf16 values round-trip losslessly through the fp32 cache).
+
+    ``shard=(i, n)``: encode only the unique videos with ``u % n == i``,
+    leaving the other rows ZERO — the multi-process build splits the one-time
+    encoder work + clip input stream across hosts and sums the partial caches
+    (exact: each window is owned by exactly one process, the rest contribute
+    fp32 zeros). See :func:`assemble_cache_multiprocess`.
     """
     from .stage1_step import _mixed_precision_apply
 
@@ -172,11 +179,13 @@ def build_cache(
         return mom  # (n_w, V, 2, z)
 
     # group UNIQUE videos by clip length so each distinct length compiles
-    # once; repeated entries never reach the encoder (WindowIndex dedup)
+    # once; repeated entries never reach the encoder (WindowIndex dedup);
+    # multi-process: round-robin the unique videos over the hosts
+    shard_i, shard_n = shard
     by_len: dict[int, list[int]] = {}
     for u, rep in enumerate(windex.rep_entries):
         n = dataset.num_frames[rep]
-        if n >= T:
+        if n >= T and u % shard_n == shard_i:
             by_len.setdefault(int(n), []).append(u)
 
     parts, part_ids = [], []
@@ -195,12 +204,43 @@ def build_cache(
                 (windex.offsets[chunk][:, None] + np.arange(n_w)[None, :]).reshape(-1)
             )
 
+    if not parts:
+        # more hosts than unique videos — callers fall back to the redundant
+        # every-host-builds-everything mode instead (train/stage2.py)
+        raise ValueError(
+            f"posterior cache shard {shard_i}/{shard_n} owns no videos "
+            f"(dataset has {len(windex.rep_entries)} unique) — build with "
+            "shard=(0, 1) on every host instead"
+        )
     vals = jnp.concatenate(parts, axis=0)
     ids = np.concatenate(part_ids)
-    # ids is a permutation of arange(n_windows): one gather puts every row at
-    # its window id
-    order = np.argsort(ids)
-    return jax.jit(lambda v, o: jnp.take(v, o, axis=0))(vals, jnp.asarray(order))
+    if shard_n == 1:
+        # ids is a permutation of arange(n_windows): one gather puts every
+        # row at its window id
+        order = np.argsort(ids)
+        return jax.jit(lambda v, o: jnp.take(v, o, axis=0))(vals, jnp.asarray(order))
+    # sharded build: scatter this host's rows into a zero cache (summed
+    # exactly across hosts by assemble_cache_multiprocess)
+    return jax.jit(
+        lambda v, i: jnp.zeros((windex.n_windows,) + v.shape[1:]).at[i].set(v)
+    )(vals, jnp.asarray(ids))
+
+
+def assemble_cache_multiprocess(partial) -> np.ndarray:
+    """Sum the per-host partial caches (zeros off-shard) into the full moment
+    table, identically on every host.
+
+    Uses ``multihost_utils.process_allgather`` — the same cross-host pooling
+    primitive the training-time FVD eval rides (train/fvd_eval.py) — then a
+    host-side sum: each window id is owned by exactly ONE host, so the sum
+    adds fp32 zeros to the true row (bit-exact, no reassociation).
+    Callers must barrier first: the build phase is long and
+    communication-free, and the Gloo rendezvous times out at ~30 s
+    (parallel/distributed.barrier)."""
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(np.asarray(partial))
+    return np.asarray(stacked).sum(axis=0, dtype=np.float32)
 
 
 def resample_posterior(mu, logvar, key, mp_dt=None):

@@ -248,6 +248,66 @@ def test_cache_dedups_oversampled_videos(data_dir):
     assert set(reads) == set(range(len(ds.videos)))
 
 
+def test_sharded_builds_sum_to_full_cache(data_dir):
+    """Multi-process cache build (train/stage2.py): each host encodes the
+    unique videos with ``u % n == i`` into a zero-initialised cache; the
+    per-host partials must be disjoint on ownership and sum to the
+    single-host cache. The assemble step itself adds fp32 zeros (exact); the
+    tolerance here absorbs only the encoder-batch reassociation between the
+    sharded and full builds' different dispatch groupings (~4e-6 abs, same
+    as test_build_cache_moments_match_direct_encoder). Also pins the
+    more-hosts-than-videos refusal the trainer's fallback branch relies
+    on."""
+    import jax
+    import jax.numpy as jnp
+
+    from image2video_synthesis_using_cinns_tpu.data.augment import build_augment
+    from image2video_synthesis_using_cinns_tpu.data.datasets import BairDataset
+    from image2video_synthesis_using_cinns_tpu.models.stage1.resnet3d import Encoder
+    from image2video_synthesis_using_cinns_tpu.testing import stage1_config
+    from image2video_synthesis_using_cinns_tpu.train.posterior_cache import (
+        WindowIndex,
+        build_cache,
+        make_clip_reader,
+    )
+
+    T = 9
+    opt = cfg.Config(
+        {"Data": {"data_path": data_dir, "sequence_length": T, "dataset": "BAIR"}}
+    )
+    ds = BairDataset(opt, mode="train")
+    enc = Encoder.from_config(stage1_config(P).Encoder)
+    img = P["img_size"]
+    enc_vars = jax.jit(enc.init)(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, T - 1, img, img, 3)),
+    )
+    aug = build_augment(img, {}, False, False)
+    reader = make_clip_reader(ds)
+
+    full = np.asarray(
+        build_cache(enc, enc_vars, ds, T, aug, reader, videos_per_dispatch=4)
+    )
+    wi = WindowIndex(ds, T)
+    parts = [
+        np.asarray(
+            build_cache(enc, enc_vars, ds, T, aug, reader,
+                        videos_per_dispatch=4, shard=(i, 3))
+        )
+        for i in range(3)
+    ]
+    owned = [(np.abs(p).sum(axis=(1, 2)) > 0) for p in parts]
+    # ownership is disjoint and covers every window (moments are never all
+    # -zero for a real window: logvar of a fresh encoder isn't identically 0)
+    assert (np.stack(owned).sum(axis=0) == 1).all()
+    np.testing.assert_allclose(sum(parts), full, rtol=1e-4, atol=2e-5)
+    assert wi.n_windows == full.shape[0]
+
+    with pytest.raises(ValueError, match="owns no videos"):
+        build_cache(enc, enc_vars, ds, T, aug, reader,
+                    shard=(len(ds.videos) + 1, len(ds.videos) + 2))
+
+
 def test_window_ids_out_of_range_fails_loudly(data_dir):
     """The in-step gather clamps out-of-bounds ids (JAX default), so a bad
     (offsets, video_of) mapping must be caught host-side in WindowIndex.ids

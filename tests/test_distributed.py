@@ -278,6 +278,70 @@ def test_two_process_run_matches_single(tmp_path, spd):
         )
 
 
+@pytest.mark.slow
+def test_two_process_cached_run_matches_single(tmp_path):
+    """REAL multi-process execution of the CACHED stage-2 path
+    (``Training.cache_posteriors`` + ``Training.distributed``): the posterior
+    -cache build is round-robin sharded over the two processes, the partial
+    caches are summed across hosts (train/stage2.py), and the training steps
+    consume window ids + 1-frame clips assembled into global arrays. With
+    ``cache_videos_per_dispatch=1`` every video is encoded in its own
+    dispatch, so the sharded build's moments are BIT-identical to the
+    single-process build's and the comparison needs no reassociation slack
+    beyond the cross-process Gloo reductions the uncached test already
+    budgets (rtol=1e-5)."""
+    from image2video_synthesis_using_cinns_tpu import config as cfg
+    from image2video_synthesis_using_cinns_tpu.testing import (
+        make_bair_data_dir,
+        make_model_dir,
+    )
+    from image2video_synthesis_using_cinns_tpu.train.stage2 import main as s2_main
+
+    data_dir = make_bair_data_dir(
+        str(tmp_path / "data") + "/", n_videos=16, img=32, modes=("train", "eval")
+    )
+    stage2_dir = make_model_dir(str(tmp_path / "ckpts"), preset="tiny")
+
+    def mk_opt():
+        opt = cfg.load(os.path.join(stage2_dir, "config_stage2.yaml"))
+        opt.Data["data_path"] = data_dir
+        opt.Data["aug"] = False  # cache-mode precondition
+        opt.Training["bs"] = 8
+        opt.Training["bs_eval"] = 8
+        opt.Training["workers"] = 2
+        opt.Training["n_epochs"] = 2
+        opt.Training["cache_posteriors"] = True
+        opt.Training["cache_videos_per_dispatch"] = 1
+        return opt
+
+    max_steps = 4
+
+    # ---- reference: single-process cached run on the 8-device CPU mesh ----
+    opt = mk_opt()
+    opt.Training["save_path"] = str(tmp_path / "single")
+    ref = s2_main(opt, max_steps=max_steps, eval_fvd=False)
+
+    # ---- 2-process cached run: sharded build + gathered cache ----
+    cfg_path = str(tmp_path / "mh_config.yaml")
+    cfg.save(mk_opt(), cfg_path)
+    out_dir = str(tmp_path / "multi")
+    os.makedirs(out_dir)
+    results = _spawn_two_workers(tmp_path, cfg_path, out_dir, max_steps, "stage2")
+
+    assert results[0]["process_count"] == 2
+    assert results[0]["global_devices"] == 8
+    # identical gathered cache + replicated state ⇒ bit-identical logs
+    np.testing.assert_allclose(
+        results[0]["train_loss"], results[1]["train_loss"], rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        results[0]["train_loss"], ref["train_loss"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        results[0]["eval_loss"], ref["eval_loss"], rtol=1e-5, atol=1e-7
+    )
+
+
 def _spawn_two_workers(tmp_path, cfg_arg, out_dir, max_steps, trainer):
     """Launch two mh_worker.py processes (4 virtual CPU devices each) and
     return their parsed result_<p>.json payloads."""
