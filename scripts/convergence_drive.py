@@ -11,6 +11,19 @@ Run on the TPU (steps are ms there; the same drive is hours on a 1-core CPU):
 
     python scripts/convergence_drive.py stage1 --steps 1000
     python scripts/convergence_drive.py stage2 --steps 1000
+    python scripts/convergence_drive.py ae     --steps 1000
+
+``ae`` drives the stage-2 conditioning AE at full reference size (BigGAN
+chn96 decoder + resnet50 encoder, bs=30) with the discriminator LIVE
+(epoch past ``pretrain``) — the trainer with the trickiest gradient
+plumbing: adaptive ``d_weight`` from a last-layer-only grad ratio, learned
+logvar, hinge disc (reference ``stage2_cINN/AE/modules/loss.py:8-19,83``).
+
+``--json PATH`` writes a machine-comparable artifact per run (round-4 #8):
+summary metrics + thresholds-crossed, so the next refresh can diff against
+the recorded evidence instead of a human re-reading BASELINE.md prose:
+
+    python scripts/convergence_drive.py ae --steps 1000 --json ae_conv.json
 
 Data is staged as a small pool of device-resident uint8 chunks and cycled —
 the relay's 10-45 MB/s H2D stream would otherwise bound the drive
@@ -55,6 +68,17 @@ def moving_squares(n, T, img, seed=0):
             fr[yy : yy + 8, xx : xx + 8] = [250, 120, 30]
             clips[i, f] = fr
     return clips
+
+
+def steps_to(series, thresh, window=20, below=True):
+    """First step index whose trailing-``window`` mean crosses ``thresh``
+    (None if never) — the 'steps-to-threshold' field of the JSON artifact."""
+    s = np.asarray(series, np.float64)
+    for i in range(window, len(s)):
+        m = s[i - window : i].mean()
+        if (m < thresh) if below else (m > thresh):
+            return i
+    return None
 
 
 def drive_stage1(preset, steps, bs, k, pool):
@@ -152,6 +176,17 @@ def drive_stage1(preset, steps, bs, k, pool):
     )
     finite = all(np.isfinite(np.asarray(v)).all() for v in hist.values())
     print(f"all finite: {finite} | total {time.time()-t0:.0f}s")
+    return {
+        "finite": bool(finite),
+        "l1_first100": float(l1[:100].mean()),
+        "l1_last100": float(l1[-100:].mean()),
+        "psnr_first100": float(ps[:100].mean()),
+        "psnr_last100": float(ps[-100:].mean()),
+        "max_abs_disc_t": float(np.abs(np.asarray(hist["Loss_Disc_T"])).max()),
+        "max_abs_disc_s": float(np.abs(np.asarray(hist["Loss_Disc_S"])).max()),
+        "steps_to_l1_70pct": steps_to(l1, 0.7 * float(l1[:100].mean())),
+        "wall_s": float(time.time() - t0),
+    }
 
 
 def drive_stage2(preset, steps, bs, k, pool, lr):
@@ -241,16 +276,162 @@ def drive_stage2(preset, steps, bs, k, pool, lr):
     l0 = losses_a[:10].mean()
     lf = losses_a[-30:].mean()
     lref = refs_a.mean()
+    gap = (l0 - lf) / max(l0 - lref, 1e-9)
     print(
         f"L0={l0:.3f} Lref={lref:.3f} Lf={lf:.3f} "
-        f"gap closed={(l0-lf)/max(l0-lref,1e-9):.2%} "
+        f"gap closed={gap:.2%} "
         f"finite={np.isfinite(losses_a).all()} | total {time.time()-t0:.0f}s"
     )
+    return {
+        "finite": bool(np.isfinite(losses_a).all()),
+        "nll_init": float(l0),
+        "nll_final": float(lf),
+        "nll_reference": float(lref),
+        "gap_closed": float(gap),
+        "steps_to_half_gap": steps_to(losses_a, float(l0 - 0.5 * (l0 - lref))),
+        "wall_s": float(time.time() - t0),
+    }
+
+
+def drive_ae(preset, steps, bs, k, pool):
+    """The stage-2 conditioning AE at full reference size with the disc LIVE
+    (epoch = pretrain, so ``adopt_weight`` gates are open from step 0): the
+    adaptive ``d_weight = |∇nll|/(|∇g|+1e-4)`` must stay finite and bounded,
+    the hinge disc loss must not blow up, and the reconstruction must improve
+    — instabilities in this plumbing surface at O(100) steps, exactly past
+    where the 2-step smokes look (round-4 verdict, Missing #3)."""
+    from image2video_synthesis_using_cinns_tpu.models.layers import (
+        merge_actnorm_init,
+    )
+    from image2video_synthesis_using_cinns_tpu.models.stage2.biggan import BigAE
+    from image2video_synthesis_using_cinns_tpu.models.backbones.lpips import LPIPS
+    from image2video_synthesis_using_cinns_tpu.models.stage1.patch_disc import (
+        NLayerDiscriminator,
+    )
+    from image2video_synthesis_using_cinns_tpu.train.stage2_ae import (
+        make_ae_scan_step,
+    )
+
+    p = PRESETS[preset]
+    ae_cfg = stage2_ae_config(p)
+    img = p["img_size"]
+    if img < 64:
+        # the BigGAN decoder exists at 64/128 px only and needs
+        # z_dim > 10*n_blocks (reference generator.py:248,342) — smoke the
+        # harness at the smallest real size (same override as
+        # scripts/pipeline_drive.py)
+        ae_cfg.AE.update(in_size=64, z_dim=64, chn=8, encoder_type="resnet18")
+        img = 64
+    tr = ae_cfg.Training
+    bs = bs or int(tr["bs"])
+
+    network = BigAE(config=dict(ae_cfg.AE))
+    gen_vars = jax.jit(network.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, img, img, 3))
+    )
+    disc = NLayerDiscriminator.from_config(ae_cfg.Discriminator_Patch)
+    disc_vars = jax.jit(disc.init)(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, img, img, 3))
+    )
+    lpips = LPIPS()
+    lpips_vars = jax.jit(lpips.init)(
+        {"params": jax.random.PRNGKey(2)},
+        jnp.zeros((1, img, img, 3)), jnp.zeros((1, img, img, 3)),
+    )
+    logvar = jnp.zeros(())
+    opt_gen = adam_torch(float(tr["lr"]), weight_decay=tr["weight_decay"])
+    opt_disc = adam_torch(float(tr["lr"]), weight_decay=tr["weight_decay"])
+    opt_g = opt_gen.init((gen_vars["params"], logvar))
+    opt_d = opt_disc.init(disc_vars["params"])
+
+    a = ae_cfg.Data["Augmentation"]
+    aug = build_augment(
+        img,
+        {kk: a[kk] for kk in ("brightness", "contrast", "saturation", "hue")},
+        False, True,
+    )
+    multi = make_ae_scan_step(
+        network, disc, lpips, lpips_vars, opt_gen, opt_disc,
+        float(tr["w_kl"]), int(tr["pretrain"]),
+        augment=aug, true_b=bs, img_size=img,
+    )
+    epoch = jnp.int32(int(tr["pretrain"]))  # disc + GAN terms live
+
+    # single frames (Data.sequence_length == 1 for the AE)
+    clips = moving_squares(64, 1, img)
+    rng = np.random.default_rng(0)
+    chunks = [
+        jax.device_put(clips[rng.integers(0, clips.shape[0], (k, bs))])
+        for _ in range(pool)
+    ]
+    jax.block_until_ready(chunks)
+
+    # patch-disc ActNorm data-dependent init on the first batch (mirrors
+    # train/stage2_ae.py::run_single)
+    root = jax.random.PRNGKey(42)
+    key0 = jax.random.fold_in(root, 0)
+    img0 = aug(chunks[0][0], key0)[:, 0]
+    _, upd = jax.jit(
+        lambda v, s: disc.apply(v, s, train=True, mutable=["actnorm_stats"])
+    )(disc_vars, img0)
+    if "actnorm_stats" in upd:
+        new_dp = merge_actnorm_init(disc_vars["params"], upd["actnorm_stats"])
+        disc_vars = dict(disc_vars)
+        disc_vars["params"] = new_dp
+        opt_d = opt_disc.init(new_dp)
+
+    hist: dict[str, list] = {}
+    t0 = time.time()
+    gstep = 0
+    while gstep < steps:
+        keys = jnp.stack(
+            [jax.random.fold_in(root, gstep + j) for j in range(k)]
+        )
+        gen_vars, logvar, disc_vars, opt_g, opt_d, _, _, metrics = multi(
+            gen_vars, logvar, disc_vars, opt_g, opt_d,
+            chunks[(gstep // k) % pool], keys, epoch,
+        )
+        m = jax.device_get(metrics)  # value fetch = the barrier on this rig
+        for key_, v in m.items():
+            hist.setdefault(key_, []).extend(np.asarray(v, np.float64).tolist())
+        gstep += k
+        if gstep % 100 == 0:
+            print(
+                f"step {gstep:5d}: recon {np.mean(hist['Loss_recon'][-k:]):.4f} "
+                f"d_weight {np.mean(hist['Disc_weight'][-k:]):.3f} "
+                f"L_disc {np.mean(hist['L_disc'][-k:]):+.4f} "
+                f"logvar {np.mean(hist['Logvar'][-k:]):+.3f} "
+                f"({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+
+    finite = all(np.isfinite(np.asarray(v)).all() for v in hist.values())
+    rec = np.asarray(hist["Loss_recon"])
+    dw = np.asarray(hist["Disc_weight"])
+    ld = np.asarray(hist["L_disc"])
+    print(
+        f"recon first100={rec[:100].mean():.4f} last100={rec[-100:].mean():.4f} "
+        f"({1 - rec[-100:].mean()/rec[:100].mean():.1%} better) | "
+        f"d_weight max={dw.max():.3f} last100 mean={dw[-100:].mean():.3f} | "
+        f"max|L_disc|={np.abs(ld).max():.3f} | finite={finite} | "
+        f"total {time.time()-t0:.0f}s"
+    )
+    return {
+        "finite": bool(finite),
+        "recon_first100": float(rec[:100].mean()),
+        "recon_last100": float(rec[-100:].mean()),
+        "d_weight_max": float(dw.max()),
+        "d_weight_last100": float(dw[-100:].mean()),
+        "max_abs_l_disc": float(np.abs(ld).max()),
+        "logvar_final": float(np.asarray(hist["Logvar"])[-1]),
+        "steps_to_recon_70pct": steps_to(rec, 0.7 * float(rec[:100].mean())),
+        "wall_s": float(time.time() - t0),
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["stage1", "stage2"])
+    ap.add_argument("which", choices=["stage1", "stage2", "ae"])
     ap.add_argument("--preset", default="bair")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--bs", type=int, default=None)
@@ -258,11 +439,30 @@ def main():
     ap.add_argument("--pool", type=int, default=4,
                     help="device-resident uint8 chunk pool size (cycled)")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--json", default=None,
+                    help="write the machine-comparable summary artifact here "
+                         "(diff against the recorded BASELINE.md evidence)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the host CPU (harness smoke at --preset tiny)")
     a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if a.which == "stage1":
-        drive_stage1(a.preset, a.steps, a.bs, a.k, a.pool)
+        summary = drive_stage1(a.preset, a.steps, a.bs, a.k, a.pool)
+    elif a.which == "ae":
+        summary = drive_ae(a.preset, a.steps, a.bs, a.k, a.pool)
     else:
-        drive_stage2(a.preset, a.steps, a.bs, a.k, a.pool, a.lr)
+        summary = drive_stage2(a.preset, a.steps, a.bs, a.k, a.pool, a.lr)
+    if a.json:
+        import json
+
+        payload = {
+            "which": a.which, "preset": a.preset, "steps": a.steps,
+            "bs": a.bs, "k": a.k, "metrics": summary,
+        }
+        with open(a.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {a.json}")
 
 
 if __name__ == "__main__":
