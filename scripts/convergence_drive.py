@@ -429,6 +429,46 @@ def drive_ae(preset, steps, bs, k, pool):
     }
 
 
+def compare(which: str, new: dict, old: dict) -> list[str]:
+    """Direction-aware regression diff of a fresh summary against a recorded
+    ``--json`` artifact. Returns human-readable regression strings (empty =
+    PASS). Tolerances are deliberately loose — these drives run on varying
+    hosts/relays; the diff flags order-of-magnitude convergence regressions,
+    not run-to-run noise."""
+    regs = []
+    if old.get("finite", True) and not new["finite"]:
+        regs.append("metrics went non-finite (was finite in the recorded run)")
+
+    def worse(key, factor, higher_is_better=False):
+        o, n = old.get(key), new.get(key)
+        if o is None or n is None:
+            return
+        bad = (n < o / factor) if higher_is_better else (n > o * factor)
+        if bad:
+            regs.append(f"{key}: {o:.4g} -> {n:.4g} (beyond {factor}x slack)")
+
+    if which == "stage1":
+        worse("l1_last100", 1.25)
+        worse("max_abs_disc_t", 3.0)
+        worse("max_abs_disc_s", 3.0)
+        if new.get("psnr_last100", 99) < old.get("psnr_last100", 0) - 1.5:
+            regs.append(
+                f"psnr_last100: {old['psnr_last100']:.2f} -> "
+                f"{new['psnr_last100']:.2f} (> 1.5 dB drop)"
+            )
+    elif which == "stage2":
+        if new.get("gap_closed", 1) < old.get("gap_closed", 0) - 0.10:
+            regs.append(
+                f"gap_closed: {old['gap_closed']:.1%} -> "
+                f"{new['gap_closed']:.1%} (> 10pp drop)"
+            )
+    else:  # ae
+        worse("recon_last100", 1.25)
+        worse("d_weight_max", 3.0)
+        worse("max_abs_l_disc", 3.0)
+    return regs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["stage1", "stage2", "ae"])
@@ -442,6 +482,10 @@ def main():
     ap.add_argument("--json", default=None,
                     help="write the machine-comparable summary artifact here "
                          "(diff against the recorded BASELINE.md evidence)")
+    ap.add_argument("--compare", default=None,
+                    help="recorded --json artifact to regression-diff the "
+                         "fresh run against; exits 1 and prints REGRESSION "
+                         "lines if convergence materially degraded")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the host CPU (harness smoke at --preset tiny)")
     a = ap.parse_args()
@@ -453,9 +497,10 @@ def main():
         summary = drive_ae(a.preset, a.steps, a.bs, a.k, a.pool)
     else:
         summary = drive_stage2(a.preset, a.steps, a.bs, a.k, a.pool, a.lr)
-    if a.json:
+    if a.json or a.compare:
         import json
 
+    if a.json:
         payload = {
             "which": a.which, "preset": a.preset, "steps": a.steps,
             "bs": a.bs, "k": a.k, "metrics": summary,
@@ -463,6 +508,20 @@ def main():
         with open(a.json, "w") as f:
             json.dump(payload, f, indent=1)
         print(f"wrote {a.json}")
+    if a.compare:
+        with open(a.compare) as f:
+            old = json.load(f)
+        if old.get("which") != a.which:
+            raise SystemExit(
+                f"--compare artifact is for {old.get('which')!r}, this run "
+                f"is {a.which!r}"
+            )
+        regs = compare(a.which, summary, old["metrics"])
+        if regs:
+            for r in regs:
+                print(f"REGRESSION vs {a.compare}: {r}")
+            raise SystemExit(1)
+        print(f"PASS: no convergence regression vs {a.compare}")
 
 
 if __name__ == "__main__":
