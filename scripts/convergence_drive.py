@@ -276,10 +276,19 @@ def drive_stage2(preset, steps, bs, k, pool, lr):
     l0 = losses_a[:10].mean()
     lf = losses_a[-30:].mean()
     lref = refs_a.mean()
-    gap = (l0 - lf) / max(l0 - lref, 1e-9)
+    # NOTE on the floor: reference_nll = mean(0.5·‖ε‖²) ≈ z/2 is the value a
+    # PERFECT standard-normal output would score with logdet 0 — but exact
+    # likelihood is bounded by the DATA's entropy, not by that floor: on the
+    # low-entropy synthetic posteriors of full-size runs (z=64) the flow
+    # legitimately trains far BELOW it (negative Loss via large logdet), so
+    # "fraction of the init→floor gap closed" is only meaningful while
+    # l0 > lref (the tiny-preset CPU gate's regime). The robust convergence
+    # evidence at full size: the floor is CROSSED (standard-normal-quality
+    # density reached) and NLL keeps descending, all finite.
+    cross = steps_to(losses_a, float(lref))
     print(
         f"L0={l0:.3f} Lref={lref:.3f} Lf={lf:.3f} "
-        f"gap closed={gap:.2%} "
+        f"drop={l0 - lf:.3f} floor crossed at step {cross} "
         f"finite={np.isfinite(losses_a).all()} | total {time.time()-t0:.0f}s"
     )
     return {
@@ -287,8 +296,8 @@ def drive_stage2(preset, steps, bs, k, pool, lr):
         "nll_init": float(l0),
         "nll_final": float(lf),
         "nll_reference": float(lref),
-        "gap_closed": float(gap),
-        "steps_to_half_gap": steps_to(losses_a, float(l0 - 0.5 * (l0 - lref))),
+        "nll_drop": float(l0 - lf),
+        "steps_to_reference_floor": cross,
         "wall_s": float(time.time() - t0),
     }
 
@@ -457,14 +466,24 @@ def compare(which: str, new: dict, old: dict) -> list[str]:
                 f"{new['psnr_last100']:.2f} (> 1.5 dB drop)"
             )
     elif which == "stage2":
-        if new.get("gap_closed", 1) < old.get("gap_closed", 0) - 0.10:
+        # final NLL materially higher than recorded (nats are comparable at
+        # fixed z; 10 is far beyond run-to-run noise, far below a broken run)
+        if new.get("nll_final", -1e9) > old.get("nll_final", 1e9) + 10.0:
             regs.append(
-                f"gap_closed: {old['gap_closed']:.1%} -> "
-                f"{new['gap_closed']:.1%} (> 10pp drop)"
+                f"nll_final: {old['nll_final']:.2f} -> {new['nll_final']:.2f} "
+                "(> 10 nats worse)"
             )
+        o_c, n_c = old.get("steps_to_reference_floor"), new.get(
+            "steps_to_reference_floor"
+        )
+        if o_c is not None and (n_c is None or n_c > 2 * o_c + 50):
+            regs.append(f"steps_to_reference_floor: {o_c} -> {n_c}")
     else:  # ae
         worse("recon_last100", 1.25)
-        worse("d_weight_max", 3.0)
+        # d_weight is NOT diffed: sitting at the reference's 1e4 clamp with a
+        # fresh disc is faithful behaviour (loss.py:8-19), so a run-to-run
+        # max comparison would false-positive; non-finiteness is covered by
+        # the finite check above and instability by recon/hinge.
         worse("max_abs_l_disc", 3.0)
     return regs
 
