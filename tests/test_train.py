@@ -106,12 +106,14 @@ def test_stage2_training_smoke(tmp_path, data_dir, monkeypatch):
 
     assert os.path.exists(os.path.join(out["save_path"], "config_stage2.yaml"))
     # resume ckpt always written; with FVD disabled the BEST ckpt selection
-    # falls back to eval loss against the reference's hardcoded 999 threshold
-    # (stage2_cINN/main.py:162,176) — at this toy batch the 2-clip ActNorm
-    # init can leave eval NLL above it, so pin the RULE, not the outcome
+    # falls back to eval loss — NOT against the reference's FVD-scale 999
+    # threshold (stage2_cINN/main.py:162,176): an untrained flow's NLL
+    # exceeds 999, which would leave the run with no cINN.msgpack ever
+    # written and break the get_model.Model contract (found by the round-5
+    # pipeline gate, scripts/pipeline_drive.py). The loss-scale fallback
+    # compares against inf, so the first eval always writes the best ckpt.
     assert os.path.exists(os.path.join(out["save_path"], "cINN_latest.msgpack"))
-    best_written = os.path.exists(os.path.join(out["save_path"], "cINN.msgpack"))
-    assert best_written == (float(out["eval_loss"][0]) < 999.0)
+    assert os.path.exists(os.path.join(out["save_path"], "cINN.msgpack"))
     assert np.isfinite(out["train_loss"]).all()
 
 
