@@ -19,10 +19,12 @@ distribution is unchanged; only the deterministic forward is amortised.
 The per-step input stream drops to one conditioning frame + a (B,) window-id
 vector (~17x less bytes).
 
-Measured (round 5, BASELINE.md "Posterior-cache epoch measurement"): 2.27x
-epoch wall-clock at the 200-step bs=50 protocol on the input-bound relay
-rig (one-time build ~1.2 uncached epochs); the compute-bound ceiling on a
-PCIe-hosted chip is ~3.1x (the encoder's ~68% FLOP share removed).
+Measured (round 5, BASELINE.md "Posterior-cache epoch measurement"):
+1.7-2.3x epoch wall-clock at the 200-step bs=50 protocol on the input-bound
+relay rig across two sessions and both dispatch depths — 3.54x combined
+with steps_per_dispatch=8 vs the spd=1 uncached baseline (one-time build
+~1-1.5 uncached epochs); the compute-bound ceiling on a PCIe-hosted chip is
+~3.1x (the encoder's ~68% FLOP share removed).
 
 Validity: the reference re-augments every epoch (its dataloaders apply
 kornia transforms inside ``__getitem__``, /root/reference/data/
