@@ -31,6 +31,10 @@ def main():
     parser.add_argument("-compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="decoder serving dtype (flow stays fp32)")
+    parser.add_argument("-spatial_shard", type=int, default=0,
+                        help="width-shard the decoder over N devices for "
+                        "single-video latency (composes with -data_parallel "
+                        "via a 2-D (data, model) mesh; 0 = off)")
     args = parser.parse_args()
 
     import jax
@@ -52,7 +56,8 @@ def main():
     ckpt_path = args.ckpt_path or f"./models/{path_ds}/stage2/"
     model = Model(ckpt_path, args.seq_length, seed=249,
                   data_parallel=args.data_parallel,
-                  compute_dtype=args.compute_dtype)
+                  compute_dtype=args.compute_dtype,
+                  spatial_shard=args.spatial_shard or False)
     img_size = model.config.Data["img_size"]
 
     dataset = get_eval_loader(args.dataset, args.seq_length, args.data_path, model.config)

@@ -69,6 +69,7 @@ def main():
     model = Model(
         ckpt_path, args.seq_length, seed=args.seed,
         data_parallel=args.data_parallel, compute_dtype=args.compute_dtype,
+        spatial_shard=args.spatial_shard or False,
     )
     img_res = model.config_stage1.Data["img_size"]
     imgs = load_images(img_path, img_res)

@@ -91,3 +91,66 @@ def test_load_images_preprocessing_matches_torch_bilinear(tmp_path):
         x, size=(32, 32), mode="bilinear", align_corners=False
     ).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_generate_samples_spatial_shard_end_to_end(tmp_path, monkeypatch):
+    """-spatial_shard N must actually reach Model (the flag was once parsed
+    but dropped — regression lock) and the width-sharded decoder must produce
+    the gif end-to-end on the CPU mesh."""
+    import jax
+    import generate_samples as cli
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    p = PRESETS["tiny"]
+    ckpt = make_model_dir(str(tmp_path / "ckpt"), preset="tiny")
+    monkeypatch.chdir(tmp_path)
+    _write_frames(str(tmp_path / "assets" / "GT_samples" / "bair"),
+                  3, p["img_size"])
+    monkeypatch.setattr(
+        sys, "argv",
+        ["generate_samples.py", "-gpu", "0", "-dataset", "bair",
+         "-ckpt_path", ckpt + "/", "-seq_length", str(p["seq_length"]),
+         "-bs", "2", "-spatial_shard", "2"],
+    )
+    cli.main()
+    assert (tmp_path / "assets" / "results" / "bair" / "results.gif").exists()
+
+
+@pytest.mark.parametrize("cli_name,extra", [
+    ("generate_samples", []),
+    ("generate_transfer", []),
+    ("visualize_endpoint", ["-data_path", "unused/", "-dataset", "bair"]),
+    ("eval_synthesis_quality", ["-data_path", "unused/"]),
+    ("eval_diversity", ["-data_path", "unused/"]),
+])
+def test_spatial_shard_flag_reaches_model(cli_name, extra, monkeypatch):
+    """Every sampling/eval CLI forwards -spatial_shard into Model(...) —
+    guards against a declared-but-dropped argparse flag (found once in
+    generate_samples). The stub aborts main() right after construction so
+    no fixtures are needed."""
+    import importlib
+
+    from image2video_synthesis_using_cinns_tpu.models import facade
+
+    cli = importlib.import_module(cli_name)
+    seen = {}
+
+    class _Abort(Exception):
+        pass
+
+    def fake_model(*a, **kw):
+        seen.update(kw)
+        raise _Abort
+
+    monkeypatch.setattr(facade, "Model", fake_model)
+    monkeypatch.setattr(
+        sys, "argv",
+        [cli_name + ".py", "-gpu", "0", "-dataset", "landscape",
+         "-ckpt_path", "unused/", "-spatial_shard", "2"] + extra,
+        # later duplicates of -dataset (e.g. bair for visualize_endpoint)
+        # override the default landscape
+    )
+    with pytest.raises(_Abort):
+        cli.main()
+    assert seen.get("spatial_shard") == 2
