@@ -78,6 +78,8 @@ def main():
         videos.append(np.stack(seq, axis=0))
     videos = np.stack(videos, axis=0)  # (N, T, C, H, W)
 
+    # the reference parses -bs but hardcodes 6 here (generate_transfer.py:49)
+    # — replicated for output parity
     bs = 6
     length = math.ceil(videos.shape[0] / bs)
     save_path = f"./assets/results/{args.dataset}/"
