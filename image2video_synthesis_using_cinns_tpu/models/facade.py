@@ -245,7 +245,11 @@ class Model:
             return contextlib.nullcontext()
         from ..parallel.spatial import spatial_sharding
 
-        return spatial_sharding(self.mesh, "model")
+        # batch_axis keeps the DP row sharding through the decoder anchors
+        # when composing with data_parallel (a 2-D mesh) — without it the
+        # first constrain_spatial would all-gather the batch over 'data' and
+        # every data-row of devices would redundantly decode the full batch.
+        return spatial_sharding(self.mesh, "model", batch_axis="data")
 
     # ------------------------------------------------------------------
     # compiled kernels (cached per input signature)

@@ -36,13 +36,13 @@ import contextvars
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-_scope: contextvars.ContextVar[tuple[Mesh, str] | None] = contextvars.ContextVar(
-    "i2v_spatial_sharding", default=None
-)
+_scope: contextvars.ContextVar[
+    tuple[Mesh, str, str | None] | None
+] = contextvars.ContextVar("i2v_spatial_sharding", default=None)
 
 
 @contextlib.contextmanager
-def spatial_sharding(mesh: Mesh, axis_name: str = "data"):
+def spatial_sharding(mesh: Mesh, axis_name: str = "data", batch_axis: str | None = None):
     """Scope: decoder video tensors get width-sharded over ``mesh[axis_name]``.
 
     Wrap the *traced* body (inside ``jit``), not the dispatch site — the
@@ -50,8 +50,15 @@ def spatial_sharding(mesh: Mesh, axis_name: str = "data"):
     batch sharding (use a 2-D mesh and a different axis name) and with
     ``conv3d_fold_divisor`` (the fold reshapes (B,T,H,W,C)→(B·T,H,W,C), which
     preserves the W sharding).
+
+    ``batch_axis`` names the mesh axis the caller's BATCH dim rides (the
+    facade's ``data`` axis under ``data_parallel`` + ``spatial_shard``).
+    ``with_sharding_constraint`` specs are hard: an unmentioned mesh axis
+    means REPLICATED over it, so without this the first decoder constraint
+    would all-gather the DP-sharded batch across the data axis and every
+    data-row of devices would redundantly decode the full batch.
     """
-    token = _scope.set((mesh, axis_name))
+    token = _scope.set((mesh, axis_name, batch_axis))
     try:
         yield
     finally:
@@ -63,13 +70,22 @@ def constrain_spatial(x: jax.Array) -> jax.Array:
 
     Identity when no scope is set or W does not divide the mesh axis (GSPMD
     would have to pad; the non-divisible stages are the cheap low-res head).
+    The batch dim keeps its ``batch_axis`` sharding (see
+    :func:`spatial_sharding`) when that axis is live and divides B.
     """
     scope = _scope.get()
     if scope is None:
         return x
-    mesh, axis_name = scope
+    mesh, axis_name, batch_axis = scope
     n = mesh.shape[axis_name]
     if x.ndim != 5 or x.shape[3] % n != 0:
         return x
-    spec = P(None, None, None, axis_name, None)
+    b_axis = (
+        batch_axis
+        if batch_axis is not None
+        and mesh.shape[batch_axis] > 1
+        and x.shape[0] % mesh.shape[batch_axis] == 0
+        else None
+    )
+    spec = P(b_axis, None, None, axis_name, None)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

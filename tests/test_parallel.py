@@ -573,3 +573,37 @@ def test_constrain_spatial_identity_outside_scope():
     with spatial_sharding(mesh, "model"):
         y = constrain_spatial(jnp.ones((1, 2, 4, 4, 8)))  # W=4 < 8 devices
     assert isinstance(y, jax.Array)
+
+
+def test_constrain_spatial_preserves_dp_batch_axis():
+    """Under a 2-D (data, model) mesh with ``batch_axis='data'`` the anchor
+    keeps the DP row sharding on dim 0 while width-sharding dim 3 — a spec
+    without the batch axis would all-gather the batch over 'data' (specs are
+    hard: unmentioned mesh axes mean replicated) and make every data-row of
+    devices decode the full batch redundantly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from image2video_synthesis_using_cinns_tpu.parallel.spatial import (
+        constrain_spatial,
+        spatial_sharding,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    x = jax.device_put(
+        jnp.ones((4, 2, 8, 8, 3)), NamedSharding(mesh, P("data"))
+    )
+
+    def fwd(x):
+        with spatial_sharding(mesh, "model", batch_axis="data"):
+            return constrain_spatial(x)
+
+    f = jax.jit(fwd)
+    y = f(x)
+    assert y.sharding.spec == P("data", None, None, "model")  # trailing None trimmed
+    # and the constraint itself moved no batch rows: no all-gather compiled
+    assert "all-gather" not in f.lower(x).compile().as_text()
+
+    # batch not divisible by the data axis (or axis size 1) → width-only spec
+    x3 = jax.device_put(jnp.ones((3, 2, 8, 8, 3)), NamedSharding(mesh, P()))
+    y3 = jax.jit(fwd)(x3)
+    assert y3.sharding.spec == P(None, None, None, "model")
