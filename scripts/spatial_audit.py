@@ -32,6 +32,11 @@ def main():
                     help="decoder channel_factor (reference BAIR: 64)")
     ap.add_argument("--img", type=int, default=64)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--data", type=int, default=1,
+                    help="data-axis size: >1 audits the DP x spatial "
+                    "composition (2-D mesh, batch rows on 'data', width on "
+                    "'model' with batch_axis='data' — the facade's "
+                    "Model(data_parallel=True, spatial_shard=N) program)")
     a = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -57,19 +62,36 @@ def main():
     dec = Generator(channel_factor=a.nf, z_dim=64, upsample_s=(2, 1),
                     upsample_t=(1, 2), spectral_norm=True)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(-1, 1, (1, a.img, a.img, 3), ).astype(np.float32))
-    z = jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32))
-    variables = jax.jit(dec.init)({"params": jax.random.PRNGKey(0)}, img, z)
+    bs = a.data  # one row per data-device in the composed audit
+    img = jnp.asarray(rng.uniform(-1, 1, (bs, a.img, a.img, 3)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(bs, 64)).astype(np.float32))
+    variables = jax.jit(dec.init)({"params": jax.random.PRNGKey(0)}, img[:1], z[:1])
 
-    mesh = make_mesh(a.devices, "model")
+    if a.data > 1:
+        if a.devices % a.data:
+            raise SystemExit("--data must divide --devices")
+        from jax.sharding import Mesh
+
+        n_model = a.devices // a.data
+        mesh = Mesh(
+            np.asarray(jax.devices()[: a.devices]).reshape(a.data, n_model),
+            ("data", "model"),
+        )
+        in_sh = NamedSharding(mesh, P("data"))
+        out_sh = NamedSharding(mesh, P("data", None, None, "model", None))
+        batch_axis = "data"
+    else:
+        mesh = make_mesh(a.devices, "model")
+        in_sh = NamedSharding(mesh, P())
+        out_sh = NamedSharding(mesh, P(None, None, None, "model", None))
+        batch_axis = None
     rep = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P(None, None, None, "model", None))
 
     def fwd(v, img, z):
-        with spatial_sharding(mesh, "model"):
+        with spatial_sharding(mesh, "model", batch_axis=batch_axis):
             return dec.apply(v, img, z)
 
-    f = jax.jit(fwd, in_shardings=(rep, rep, rep), out_shardings=out_sh)
+    f = jax.jit(fwd, in_shardings=(rep, in_sh, in_sh), out_shardings=out_sh)
     compiled = f.lower(variables, img, z).compile()
     txt = compiled.as_text()
 
@@ -91,7 +113,12 @@ def main():
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    print(f"devices={a.devices} nf={a.nf} img={a.img}")
+    print(f"devices={a.devices} nf={a.nf} img={a.img}"
+          + (f" data={a.data} model={mesh.shape['model']} bs={bs}"
+             if a.data > 1 else ""))
+    if a.data > 1 and colls.get("all-gather"):
+        print("WARNING: all-gathers present — the composed program is "
+              "re-replicating something (batch rows should stay on 'data')")
     print("collective ops:", dict(colls))
     print(f"per-device collective bytes/forward: {byte_total/1e6:.2f} MB")
     print(f"program FLOPs (global): {float(ca.get('flops', 0))/1e9:.1f} GFLOP")
