@@ -342,6 +342,29 @@ def test_facade_spatial_shard_composes_with_dp(tmp_path):
     np.testing.assert_allclose(v_2d, v_single, rtol=1e-3, atol=1e-4)
 
 
+def test_facade_spatial_dp_extension_matches_single(tmp_path):
+    """vid_length past the base clip: the autoregressive extension re-decodes
+    inside a lax.scan (models/facade.py::_extend_traced) — under the 2-D
+    (data, model) mesh the constrain_spatial anchors fire inside the scan
+    body, so this pins the composed sharding through the extension path the
+    vid_length=8 tests never reach (tiny preset base clip is 8 frames)."""
+    from image2video_synthesis_using_cinns_tpu.models.facade import Model
+    from image2video_synthesis_using_cinns_tpu.testing import make_model_dir
+
+    d = make_model_dir(str(tmp_path), preset="tiny") + "/"
+    m_single = Model(d, vid_length=12, seed=3)
+    m_2d = Model(d, vid_length=12, seed=3, data_parallel=True, spatial_shard=2)
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, (3, 3, 32, 32)).astype(np.float32)
+    nu = rng.standard_normal((3, m_single.z_dim)).astype(np.float32)
+
+    v_single = np.asarray(m_single.forward(x0, residual=nu))
+    v_2d = np.asarray(m_2d.forward(x0, residual=nu))
+    assert v_2d.shape == v_single.shape == (3, 12, 3, 32, 32)
+    np.testing.assert_allclose(v_2d, v_single, rtol=1e-3, atol=1e-4)
+
+
 def test_facade_spatial_shard_flag_validation(tmp_path):
     """spatial_shard=True with data_parallel is ambiguous (how to split the
     devices) — must raise and name the fix; non-dividing int must raise."""
